@@ -1,0 +1,712 @@
+"""AdaptiveClassifier — the end-to-end orchestrator.
+
+TPU-native re-design of the reference orchestrator (reference:
+src/adaptive_classifier/classifier.py:27-1823).  Architecture stance
+(SURVEY.md §7): all mutable numerical state — the example buffer, prototypes,
+head parameters — lives in fixed-capacity padded device arrays; every heavy
+operation (embed, kNN, fusion, the full training loop) is a jitted pure
+function; this thin Python shell owns tokenization, label↔id maps, the
+training-history dict, config, and persistence.
+
+The embed → kNN → head → fusion prediction path is a single device pipeline:
+tokenize on host, one host→device transfer, and only the final (k scores,
+k ids) pair returns — the north-star single-device-pipeline requirement
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import copy
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Set, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Example, ModelConfig
+from .memory import PrototypeMemory, gather_training_set
+from .models.encoder import Encoder
+from .models import head as head_lib
+from .models.head import HeadParams
+from . import training, ewc as ewc_lib
+from .ops import fusion, kmeans as kmeans_ops
+from .strategic import (
+    CostFunctionFactory, StrategicCostFunction, StrategicEvaluator, StrategicOptimizer,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class AdaptiveClassifier:
+    """A flexible classifier that adapts to new classes and examples at runtime.
+
+    Public API mirrors the reference class (classifier.py:27) — ``__init__``,
+    ``add_examples``, ``predict``, ``predict_batch``, ``save``/``load``,
+    ``push_to_hub``, ``merge_classifiers``, strategic prediction modes — with
+    the compute re-architected for TPU.
+
+    ``use_onnx`` is accepted for API compatibility and ignored: the jitted
+    XLA forward *is* the optimized inference path (the reference uses ONNX
+    only to accelerate CPU inference, classifier.py:114-130).
+    """
+
+    def __init__(
+        self,
+        model_name: str,
+        device: Optional[str] = None,
+        config: Optional[Dict[str, Any]] = None,
+        seed: int = 42,
+        use_onnx: Union[bool, str] = "auto",
+        trust_remote_code: bool = False,
+    ):
+        self.config = ModelConfig(config)
+        self.model_name = model_name
+        self.device = device or jax.default_backend()
+        self.seed = seed
+        self.use_onnx = False  # XLA path everywhere; kept for API parity
+        self._rng = jax.random.PRNGKey(seed)
+
+        self.encoder = Encoder(model_name, compute_dtype=self.config.compute_dtype, seed=seed)
+        self.embedding_dim = self.encoder.hidden_size
+
+        self.memory = PrototypeMemory(self.embedding_dim, config=self.config)
+
+        self.head_params: Optional[HeadParams] = None
+        self.label_to_id: Dict[str, int] = {}
+        self.id_to_label: Dict[int, str] = {}
+        self.train_steps = 0
+        self.training_history: Dict[str, int] = {}
+
+        # Strategic components (classifier.py:105-112)
+        self.strategic_cost_function: Optional[StrategicCostFunction] = None
+        self.strategic_optimizer: Optional[StrategicOptimizer] = None
+        self.strategic_evaluator: Optional[StrategicEvaluator] = None
+        if self.config.enable_strategic_mode:
+            self._initialize_strategic_components()
+
+    # ------------------------------------------------------------------
+    # embeddings
+    # ------------------------------------------------------------------
+    def _get_embeddings(self, texts: List[str]) -> np.ndarray:
+        """Tokenize → encoder forward → CLS pool → L2 normalize, batched.
+
+        Reference analog: classifier.py:1249-1282.  Batches are padded to
+        fixed buckets so the jitted encoder compiles a handful of shapes.
+        """
+        out = []
+        chunk = 64
+        for s in range(0, len(texts), chunk):
+            part = texts[s : s + chunk]
+            pad_to = 8 if len(part) <= 8 else chunk
+            padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
+            emb = self.encoder.embed(padded, max_length=self.config.max_length)
+            out.append(np.asarray(emb[: len(part)]))
+        return np.concatenate(out, axis=0)
+
+    def _embed_device(self, texts: List[str]) -> jax.Array:
+        return jnp.asarray(self._get_embeddings(texts))
+
+    # ------------------------------------------------------------------
+    # masks / weights helpers
+    # ------------------------------------------------------------------
+    @property
+    def _class_capacity(self) -> int:
+        return self.memory.state.class_capacity
+
+    def _active_mask(self) -> jax.Array:
+        C = self._class_capacity
+        return jnp.arange(C) < len(self.label_to_id)
+
+    def _history_weights(self) -> Tuple[jax.Array, jax.Array]:
+        """Per-label fusion weights from the training history
+        (classifier.py:449-467): <10 trained examples → proto 0.3 / head 0.7,
+        else proto 0.7 / head 0.3."""
+        C = self._class_capacity
+        pw = np.full((C,), 0.3, np.float32)
+        for label, idx in self.label_to_id.items():
+            pw[idx] = 0.3 if self.training_history.get(label, 0) < 10 else 0.7
+        return jnp.asarray(pw), jnp.asarray(1.0 - pw)
+
+    def _head_logits(self, emb: jax.Array) -> jax.Array:
+        if self.head_params is None:
+            return jnp.zeros((emb.shape[0], self._class_capacity))
+        return head_lib.head_forward(self.head_params, emb, train=False)
+
+    def _next_key(self) -> jax.Array:
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # ------------------------------------------------------------------
+    # add_examples (reference classifier.py:132-200)
+    # ------------------------------------------------------------------
+    def add_examples(self, texts: List[str], labels: List[str]):
+        if not texts or not labels:
+            raise ValueError("Empty input lists")
+        if len(texts) != len(labels):
+            raise ValueError("Mismatched text and label lists")
+
+        has_existing_classes = len(self.label_to_id) > 0
+        new_classes = set(labels) - set(self.label_to_id.keys())
+        is_adding_new_classes = len(new_classes) > 0
+
+        # alphabetical id assignment for order-independence (classifier.py:146-150)
+        for label in sorted(new_classes):
+            idx = len(self.label_to_id)
+            self.label_to_id[label] = idx
+            self.id_to_label[idx] = label
+            self.memory.register_label(label)
+
+        embeddings = self._get_embeddings(texts)
+        self.memory.add_batch_host(texts, embeddings, labels)
+
+        for label in labels:
+            self.training_history[label] = self.training_history.get(label, 0) + 1
+
+        is_incremental = is_adding_new_classes and has_existing_classes
+        if is_incremental:
+            old_head = self.head_params  # params are immutable pytrees
+            self._ensure_head_capacity()
+            self._train_new_classes(old_head, new_classes)
+        else:
+            if self.head_params is None:
+                self._initialize_adaptive_head()
+            elif is_adding_new_classes:
+                self._ensure_head_capacity()
+            self._train_adaptive_head()
+            if self.strategic_mode and self.train_steps % self.config.strategic_training_frequency == 0:
+                self._perform_strategic_training()
+
+    # ------------------------------------------------------------------
+    # head lifecycle
+    # ------------------------------------------------------------------
+    def _initialize_adaptive_head(self):
+        """hidden_dims = [D, D//2] as the classifier builds it
+        (classifier.py:1238-1247)."""
+        self.head_params = head_lib.init_head(
+            jax.random.PRNGKey(self.seed),
+            self.embedding_dim,
+            self._class_capacity,
+            max(len(self.label_to_id), 1),
+            hidden_dims=[self.embedding_dim, self.embedding_dim // 2],
+        )
+
+    def _ensure_head_capacity(self):
+        """Growing classes is unmasking; only a capacity-bucket crossing
+        repads the output layer (weight-preserving, models.py:82-98)."""
+        if self.head_params is None:
+            return
+        cap = self._class_capacity
+        if self.head_params["out"]["w"].shape[1] < cap:
+            self.head_params = head_lib.grow_capacity(
+                self.head_params, cap, jax.random.PRNGKey(self.seed),
+                len(self.label_to_id),
+            )
+
+    # ------------------------------------------------------------------
+    # training paths
+    # ------------------------------------------------------------------
+    def _train_adaptive_head(self, epochs: Optional[int] = None):
+        """Regular replay training (classifier.py:1428-1522)."""
+        n_total = sum(len(t) for t in self.memory.texts.values())
+        if n_total == 0 or self.head_params is None:
+            return
+        n_cap = self.config.train_capacity(n_total)
+        emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
+        result = training.fit_head(
+            self.head_params, emb, lbl, valid, self._active_mask(),
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), self.train_steps),
+            lr=self.config.learning_rate,
+            loss_type="ce",
+            max_epochs=epochs or self.config.epochs,
+            patience=self.config.early_stopping_patience,
+            use_scheduler=True,
+        )
+        self.head_params = result.params
+        self.train_steps += 1
+
+    def _train_new_classes(self, old_head: Optional[HeadParams], new_classes: Set[str]):
+        """Incremental new-class training with balanced sampling + EWC
+        (classifier.py:202-367).
+
+        Note on EWC parity: the reference's penalty in this path is inert —
+        it penalizes the *frozen copy* against its own snapshot
+        (classifier.py:298-303 with ewc.py:106-109), which is identically
+        zero.  Here the penalty is wired to the live parameters (λ=5.0,
+        Fisher from ≤5 exemplars per old class), strictly strengthening
+        old-class preservation.
+        """
+        counts = {l: len(t) for l, t in self.memory.texts.items() if t}
+        if not counts:
+            return
+        if self.head_params is None:
+            self._initialize_adaptive_head()
+
+        rng = np.random.default_rng(self.seed + self.train_steps)
+        min_examples = min(counts.values())
+        num_classes = len(counts)
+        target = max(5, min(10, min_examples * 2))
+
+        sel_slots: List[int] = []
+        sel_pos: List[int] = []
+        sel_labels: List[int] = []
+        for label, n in counts.items():
+            slot = self.memory.label_to_index[label]
+            if num_classes > 20:  # many-class stratified sampling
+                ns = min(n, target * 2) if label in new_classes else min(n, target)
+                idxs = rng.choice(n, size=ns, replace=ns > n)
+            else:
+                weight = 2.0 if label in new_classes else min_examples / n
+                ns = max(min_examples, int(n * weight))
+                idxs = rng.choice(n, size=ns, replace=ns > n)
+            sel_slots += [slot] * len(idxs)
+            sel_pos += list(int(i) for i in idxs)
+            sel_labels += [self.label_to_id[label]] * len(idxs)
+
+        n_sel = len(sel_labels)
+        n_cap = self.config.train_capacity(n_sel)
+        slots = np.zeros((n_cap,), np.int32)
+        poss = np.zeros((n_cap,), np.int32)
+        lbls = np.zeros((n_cap,), np.int32)
+        slots[:n_sel], poss[:n_sel], lbls[:n_sel] = sel_slots, sel_pos, sel_labels
+        emb = self.memory.state.emb[jnp.asarray(slots), jnp.asarray(poss)]
+        valid = jnp.arange(n_cap) < n_sel
+
+        # EWC over ≤5 exemplars per old class (classifier.py:287-303)
+        ewc_bundle = None
+        if old_head is not None:
+            old_labels = [l for l in counts if l not in new_classes]
+            o_slots, o_pos = [], []
+            for label in old_labels:
+                slot = self.memory.label_to_index[label]
+                for i in range(min(counts[label], 5)):
+                    o_slots.append(slot)
+                    o_pos.append(i)
+            if o_slots:
+                o_cap = self.config.train_capacity(len(o_slots))
+                os_ = np.zeros((o_cap,), np.int32)
+                op_ = np.zeros((o_cap,), np.int32)
+                os_[: len(o_slots)] = o_slots
+                op_[: len(o_pos)] = o_pos
+                o_emb = self.memory.state.emb[jnp.asarray(os_), jnp.asarray(op_)]
+                o_valid = jnp.arange(o_cap) < len(o_slots)
+                n_old = len(self.label_to_id) - len(new_classes)
+                old_active = jnp.arange(self._class_capacity) < n_old
+                old_padded = old_head
+                if old_padded["out"]["w"].shape[1] < self._class_capacity:
+                    old_padded = head_lib.grow_capacity(
+                        old_padded, self._class_capacity,
+                        jax.random.PRNGKey(self.seed), n_old,
+                    )
+                ewc_bundle = ewc_lib.make_ewc_bundle(
+                    old_padded, o_emb, o_valid, old_active,
+                    self._next_key(), ewc_lambda=5.0,
+                )
+
+        result = training.fit_head(
+            self.head_params, emb, jnp.asarray(lbls), valid, self._active_mask(),
+            jax.random.fold_in(jax.random.PRNGKey(self.seed), 7919 + self.train_steps),
+            lr=0.001,
+            loss_type="ce",
+            max_epochs=15,
+            patience=3,
+            use_scheduler=False,
+            has_ewc=ewc_bundle is not None,
+            ewc_old=ewc_bundle.old_params if ewc_bundle else None,
+            ewc_fisher=ewc_bundle.fisher if ewc_bundle else None,
+            ewc_lambda=ewc_bundle.ewc_lambda if ewc_bundle else 0.0,
+        )
+        self.head_params = result.params
+        self.train_steps += 1
+
+    # ------------------------------------------------------------------
+    # prediction (reference classifier.py:392-522)
+    # ------------------------------------------------------------------
+    def predict(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        if not text:
+            raise ValueError("Empty input text")
+        if not self.strategic_mode:
+            return self._predict_regular(text, k)
+        return self._predict_dual(text, k)
+
+    def _to_label_list(self, scores: np.ndarray, ids: np.ndarray) -> List[Tuple[str, float]]:
+        out = []
+        for s, i in zip(scores, ids):
+            if i >= 0 and int(i) in self.id_to_label:
+                out.append((self.id_to_label[int(i)], float(s)))
+        return out
+
+    def _predict_regular(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        preds = self._predict_regular_batch([text], k)
+        return preds[0]
+
+    def _predict_regular_batch(self, texts: List[str], k: int) -> List[List[Tuple[str, float]]]:
+        n_classes = len(self.label_to_id)
+        if n_classes == 0:
+            return [[] for _ in texts]
+        emb = self._embed_device(texts)
+        sims = self.memory.sims_for(emb)
+        pw, hw = self._history_weights()
+        has_head = self.head_params is not None
+        logits = self._head_logits(emb)
+        kk = min(max(k, 1), self._class_capacity)
+        scores, ids = fusion.fuse_full(
+            sims, logits, self.memory.state.valid, self._active_mask(),
+            pw, hw, kk, has_head,
+        )
+        scores, ids = np.asarray(scores), np.asarray(ids)
+        return [self._to_label_list(scores[i], ids[i])[:k] for i in range(len(texts))]
+
+    def predict_batch(
+        self, texts: List[str], k: int = 5, batch_size: int = 32
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched prediction (classifier.py:1308-1388): the reference batches
+        only the encoder and loops fusion per-embedding on host with fixed
+        0.7/0.3 weights; here the entire batch fuses in one device call while
+        preserving the fixed-weight, top-k-restricted scoring semantics."""
+        if not texts:
+            raise ValueError("Empty input batch")
+        n_classes = len(self.label_to_id)
+        if n_classes == 0:
+            return [[] for _ in texts]
+        results: List[List[Tuple[str, float]]] = []
+        for s in range(0, len(texts), batch_size):
+            part = texts[s : s + batch_size]
+            emb = self._embed_device(part)
+            sims = self.memory.sims_for(emb)
+            has_head = self.head_params is not None
+            logits = self._head_logits(emb)
+            kk = min(max(k, 1), self._class_capacity)
+            scores, ids = fusion.fuse_topk(
+                sims, logits, self.memory.state.valid, self._active_mask(),
+                0.7, 0.3, kk, has_head,
+            )
+            scores, ids = np.asarray(scores), np.asarray(ids)
+            results.extend(
+                self._to_label_list(scores[i], ids[i])[:k] for i in range(len(part))
+            )
+        return results
+
+    def _predict_from_embedding(
+        self, embedding: jax.Array, k: int = 5,
+        robust: bool = False, strategic: bool = False,
+    ) -> List[Tuple[str, float]]:
+        """Reference classifier.py:1723-1797 — top-k fusion with mode weights."""
+        if self.strategic_mode and robust:
+            pw, hw = self.config.strategic_robust_proto_weight, self.config.strategic_robust_head_weight
+        elif self.strategic_mode and strategic:
+            pw, hw = self.config.strategic_prediction_proto_weight, self.config.strategic_prediction_head_weight
+        else:
+            pw, hw = self.config.prototype_weight, self.config.neural_weight
+        emb = jnp.atleast_2d(jnp.asarray(embedding))
+        sims = self.memory.sims_for(emb)
+        has_head = self.head_params is not None
+        logits = self._head_logits(emb)
+        kk = min(max(k, 1), self._class_capacity)
+        scores, ids = fusion.fuse_topk(
+            sims, logits, self.memory.state.valid, self._active_mask(),
+            pw, hw, kk, has_head,
+        )
+        return self._to_label_list(np.asarray(scores)[0], np.asarray(ids)[0])[:k]
+
+    # ------------------------------------------------------------------
+    # strategic mode (reference classifier.py:1573-1823)
+    # ------------------------------------------------------------------
+    def _initialize_strategic_components(self):
+        try:
+            if self.config.cost_coefficients:
+                self.strategic_cost_function = CostFunctionFactory.create_cost_function(
+                    cost_type=self.config.cost_function_type,
+                    cost_coefficients=self.config.cost_coefficients,
+                )
+                self.strategic_cost_function.num_candidates = self.config.strategic_num_candidates
+                self.strategic_optimizer = StrategicOptimizer(self.strategic_cost_function)
+                self.strategic_evaluator = StrategicEvaluator(self.strategic_cost_function)
+                logger.info(
+                    f"Initialized strategic mode with {self.config.cost_function_type} cost function"
+                )
+            else:
+                logger.warning("Strategic mode enabled but no cost coefficients provided")
+        except Exception as e:
+            logger.error(f"Failed to initialize strategic components: {e}")
+            self.config.enable_strategic_mode = False
+
+    @property
+    def strategic_mode(self) -> bool:
+        return self.config.enable_strategic_mode and self.strategic_cost_function is not None
+
+    def _classifier_probs_fn(self):
+        """Head softmax over active classes, or uniform if no head
+        (classifier.py:1670-1682)."""
+        active = self._active_mask()
+        n = max(len(self.label_to_id), 1)
+        if self.head_params is None:
+            C = self._class_capacity
+
+            def uniform(x):
+                return jnp.where(active[None, :], 1.0 / n, 0.0) * jnp.ones((x.shape[0], C))
+
+            return uniform
+        params = self.head_params
+
+        def f(x):
+            logits = head_lib.head_forward(params, x, train=False)
+            masked = jnp.where(active[None, :], logits, head_lib.NEG_INF)
+            return jax.nn.softmax(masked, axis=-1)
+
+        return f
+
+    def _masked_logits_fn(self, params: Optional[HeadParams] = None):
+        active = self._active_mask()
+        params = params if params is not None else self.head_params
+
+        def f(x):
+            logits = head_lib.head_forward(params, x, train=False)
+            return jnp.where(active[None, :], logits, head_lib.NEG_INF)
+
+        return f
+
+    def predict_strategic(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        """Predict on the input's simulated best response (classifier.py:1649-1694)."""
+        if not self.strategic_mode:
+            return self._predict_regular(text, k)
+        try:
+            emb = self._embed_device([text])[0]
+            br = self.strategic_cost_function.compute_best_response(
+                emb, self._classifier_probs_fn(), key=self._next_key()
+            )
+            return self._predict_from_embedding(br, k, strategic=True)
+        except Exception as e:
+            logger.warning(f"Strategic prediction failed: {e}. Falling back to regular prediction.")
+            return self._predict_regular(text, k)
+
+    def predict_robust(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        """Prototype-heavy prediction for already-manipulated inputs
+        (classifier.py:1696-1721)."""
+        if not self.strategic_mode:
+            return self._predict_regular(text, k)
+        try:
+            emb = self._embed_device([text])[0]
+            return self._predict_from_embedding(emb, k, robust=True)
+        except Exception as e:
+            logger.warning(f"Robust prediction failed: {e}. Falling back to regular prediction.")
+            return self._predict_regular(text, k)
+
+    def _predict_dual(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        """Blend regular + strategic predictions (classifier.py:482-522)."""
+        regular = self._predict_regular(text, k)
+        strategic = self.predict_strategic(text, k)
+        blended: Dict[str, float] = {}
+        rw = self.config.strategic_blend_regular_weight
+        sw = self.config.strategic_blend_strategic_weight
+        for label, score in regular:
+            blended[label] = score * rw
+        for label, score in strategic:
+            blended[label] = blended.get(label, 0.0) + score * sw
+        preds = sorted(blended.items(), key=lambda x: x[1], reverse=True)
+        total = sum(s for _, s in preds)
+        if total > 0:
+            preds = [(l, s / total) for l, s in preds]
+        return preds[:k]
+
+    def _perform_strategic_training(self):
+        """Periodic strategic training over all stored examples
+        (classifier.py:369-390, :1602-1647)."""
+        if not self.strategic_mode or self.head_params is None:
+            return
+        n_total = sum(len(t) for t in self.memory.texts.values())
+        if n_total == 0:
+            return
+        n_cap = self.config.train_capacity(n_total)
+        emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
+        self.head_params = self._strategic_training_step(emb, lbl, valid)
+        logger.debug("Performed strategic training step")
+
+    def _strategic_training_step(self, emb, labels, valid) -> HeadParams:
+        """5 epochs × batch 16, AdamW at lr/2 with strategic loss
+        (classifier.py:1602-1647)."""
+        params = self.head_params
+        active = self._active_mask()
+        cost_fn = self.strategic_cost_function
+        lam = self.config.strategic_lambda
+        opt = training.adamw_init(params)
+        lr = self.config.learning_rate * 0.5
+        optimizer = self.strategic_optimizer
+
+        bs = 16
+        n = int(np.sum(np.asarray(valid)))
+        emb_np = np.asarray(emb)[:n]
+        lbl_np = np.asarray(labels)[:n]
+
+        @jax.jit
+        def step(params, opt, x, y, key):
+            def loss_fn(p):
+                def forward(z):
+                    lg = head_lib.head_forward(p, z, train=False)
+                    return jnp.where(active[None, :], lg, head_lib.NEG_INF)
+
+                return optimizer.strategic_loss(forward, x, y, lam, key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = training.clip_global_norm(grads, 1.0)
+            return adamw_apply(params, grads, opt, lr)
+
+        def adamw_apply(p, g, o, lr_):
+            return training.adamw_update(p, g, o, lr_)
+
+        rng = np.random.default_rng(42)
+        for _ in range(5):
+            order = rng.permutation(n)
+            for s in range(0, n, bs):
+                idx = order[s : s + bs]
+                if len(idx) < bs:  # pad the tail batch to a fixed shape
+                    idx = np.concatenate([idx, idx[: bs - len(idx)]])[:bs] if len(idx) else idx
+                    if len(idx) == 0:
+                        continue
+                    idx = np.resize(idx, bs)
+                x = jnp.asarray(emb_np[idx])
+                y = jnp.asarray(lbl_np[idx])
+                params, opt = step(params, opt, x, y, self._next_key())
+        return params
+
+    def evaluate_strategic_robustness(
+        self,
+        test_texts: List[str],
+        test_labels: List[str],
+        gaming_levels: List[float] = [0.0, 0.5, 1.0],
+    ) -> Dict[str, float]:
+        """Reference classifier.py:1799-1823."""
+        if not self.strategic_mode:
+            raise ValueError("Strategic mode not enabled")
+        emb = self._embed_device(test_texts)
+        labels = jnp.asarray([self.label_to_id[l] for l in test_labels])
+        return self.strategic_evaluator.evaluate_robustness(
+            self._masked_logits_fn(), emb, labels, gaming_levels, key=self._next_key()
+        )
+
+    # ------------------------------------------------------------------
+    # memory management / stats
+    # ------------------------------------------------------------------
+    def get_memory_stats(self) -> Dict[str, Any]:
+        return self.memory.get_stats()
+
+    def get_example_statistics(self) -> Dict[str, Any]:
+        """Reference classifier.py:1284-1306."""
+        counts = {l: len(t) for l, t in self.memory.texts.items() if t}
+        D = self.embedding_dim
+        stats = {
+            "total_examples": sum(counts.values()),
+            "examples_per_class": counts,
+            "num_classes": len(self.label_to_id),
+            "train_steps": self.train_steps,
+            "memory_usage": {
+                "prototypes": len(counts) * D * 4,
+                "examples": sum(counts.values()) * D * 4,
+            },
+        }
+        if self.head_params is not None:
+            stats["model_params"] = int(
+                sum(np.prod(l.shape) for l in jax.tree.leaves(self.head_params))
+            )
+        return stats
+
+    def clear_memory(self, labels: Optional[List[str]] = None):
+        """Reference classifier.py:1390-1400."""
+        if labels is None:
+            self.memory.clear()
+            for label in self.id_to_label.values():
+                self.memory.register_label(label)
+        else:
+            for label in labels:
+                self.memory.remove_label(label)
+
+    def merge_classifiers(self, other: "AdaptiveClassifier") -> "AdaptiveClassifier":
+        """Reference classifier.py:1402-1426."""
+        if self.embedding_dim != other.embedding_dim:
+            raise ValueError("Classifiers have different embedding dimensions")
+        next_idx = max(self.id_to_label.keys()) + 1 if self.id_to_label else 0
+        for label in other.label_to_id:
+            if label not in self.label_to_id:
+                self.label_to_id[label] = next_idx
+                self.id_to_label[next_idx] = label
+                self.memory.register_label(label)
+                next_idx += 1
+        for label, slot in other.memory.label_to_index.items():
+            n = len(other.memory.texts.get(label, ()))
+            if n == 0:
+                continue
+            embs = np.asarray(other.memory.state.emb[slot, :n])
+            self.memory.add_batch_host(list(other.memory.texts[label]), embs, [label] * n)
+        if self.head_params is not None:
+            self._initialize_adaptive_head()
+            self._ensure_head_capacity()
+            self._train_adaptive_head()
+        return self
+
+    def to(self, device: str) -> "AdaptiveClassifier":
+        """Device moves are managed by JAX; kept for API parity
+        (classifier.py:1215-1228)."""
+        self.device = device
+        return self
+
+    # ------------------------------------------------------------------
+    # representative example selection (classifier.py:1533-1571)
+    # ------------------------------------------------------------------
+    def select_representative_examples(self, examples: List[Example], k: int = 5) -> List[Example]:
+        if len(examples) <= k:
+            return examples
+        embs = np.stack([np.asarray(ex.embedding, np.float32) for ex in examples])
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        embs = embs / np.maximum(norms, 1e-12)
+        n = embs.shape[0]
+        n_cap = self.config.train_capacity(n)
+        x = np.zeros((n_cap, embs.shape[1]), np.float32)
+        x[:n] = embs
+        valid = np.zeros((n_cap,), bool)
+        valid[:n] = True
+        idx = kmeans_ops.representative_indices(
+            jnp.asarray(x), jnp.asarray(valid), jax.random.PRNGKey(42), k
+        )
+        return [examples[int(i)] for i in np.asarray(idx)]
+
+    # ------------------------------------------------------------------
+    # persistence — delegated to persistence.py
+    # ------------------------------------------------------------------
+    def save(self, save_dir: str, include_onnx: bool = True, quantize_onnx: bool = True):
+        from . import persistence
+
+        return persistence.save_classifier(self, Path(save_dir))
+
+    def _save_pretrained(self, save_directory, **kwargs):
+        from . import persistence
+
+        return persistence.save_classifier(self, Path(save_directory))
+
+    @classmethod
+    def load(
+        cls, save_dir: str, device: Optional[str] = None,
+        use_onnx: Union[bool, str] = "auto", prefer_quantized: bool = True,
+        trust_remote_code: bool = False,
+    ) -> "AdaptiveClassifier":
+        from . import persistence
+
+        return persistence.load_classifier(cls, Path(save_dir), device=device)
+
+    @classmethod
+    def from_pretrained(cls, model_id: str, **kwargs) -> "AdaptiveClassifier":
+        from . import persistence
+
+        return persistence.from_pretrained(cls, model_id, **kwargs)
+
+    @classmethod
+    def _from_pretrained(cls, model_id: str, **kwargs) -> "AdaptiveClassifier":
+        return cls.from_pretrained(model_id, **kwargs)
+
+    def push_to_hub(self, repo_id: str, token: Optional[str] = None,
+                    commit_message: Optional[str] = None, private: bool = False, **kwargs):
+        from . import persistence
+
+        return persistence.push_to_hub(
+            self, repo_id, token=token, commit_message=commit_message, private=private, **kwargs
+        )

@@ -1,0 +1,189 @@
+"""Configuration and example containers.
+
+TPU-native re-design of the reference's ``ModelConfig`` / ``Example``
+(reference: src/adaptive_classifier/models.py:9-28,100-196).  The reference
+stores free-form dicts; we keep the same public keys/defaults for checkpoint
+compatibility and add TPU-specific keys (capacity buckets, dtypes, sharding)
+that the reference has no analog for.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_capacity(n: int, buckets: List[int]) -> int:
+    """Smallest bucket >= n (last bucket is rounded up in steps of itself)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    step = buckets[-1]
+    return _round_up(n, step)
+
+
+@dataclass
+class Example:
+    """A single training example (reference: models.py:9-28).
+
+    ``embedding`` is a host numpy array (float32) — device state is owned by
+    the classifier's padded buffers, not by individual examples.
+    """
+
+    text: str
+    label: str
+    embedding: Optional[np.ndarray] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "text": self.text,
+            "label": self.label,
+            "embedding": self.embedding.tolist() if self.embedding is not None else None,
+        }
+
+    @classmethod
+    def from_dict(cls, data: Dict[str, Any]) -> "Example":
+        emb = data.get("embedding")
+        return cls(
+            text=data["text"],
+            label=data["label"],
+            embedding=np.asarray(emb, dtype=np.float32) if emb is not None else None,
+        )
+
+
+class ModelConfig:
+    """Configuration for the adaptive classifier.
+
+    Public keys and defaults match the reference (models.py:100-196) so
+    checkpoints interoperate; TPU-specific keys are additive.
+    """
+
+    #: reference-compatible keys, serialized by :meth:`to_dict`
+    _REFERENCE_KEYS = (
+        "max_length", "batch_size", "learning_rate", "warmup_steps",
+        "max_examples_per_class", "prototype_update_frequency",
+        "similarity_threshold", "ewc_lambda", "num_representative_examples",
+        "epochs", "early_stopping_patience", "min_examples_per_class",
+        "prototype_weight", "neural_weight", "min_confidence",
+        "device_map", "quantization", "gradient_checkpointing",
+        "enable_strategic_mode", "cost_function_type", "strategic_lambda",
+        "cost_coefficients", "strategic_training_frequency",
+        "strategic_blend_regular_weight", "strategic_blend_strategic_weight",
+        "strategic_robust_proto_weight", "strategic_robust_head_weight",
+        "strategic_prediction_proto_weight", "strategic_prediction_head_weight",
+    )
+
+    def __init__(self, config: Optional[Dict[str, Any]] = None):
+        self.config = dict(config or {})
+        g = self.config.get
+
+        # Model settings
+        self.max_length = g("max_length", 512)
+        self.batch_size = g("batch_size", 32)
+        self.learning_rate = g("learning_rate", 0.001)
+        self.warmup_steps = g("warmup_steps", 0)
+
+        # Memory settings
+        self.max_examples_per_class = g("max_examples_per_class", 1000)
+        self.prototype_update_frequency = g("prototype_update_frequency", 100)
+        self.similarity_threshold = g("similarity_threshold", 0.6)
+
+        # EWC settings
+        self.ewc_lambda = g("ewc_lambda", 100.0)
+        self.num_representative_examples = g("num_representative_examples", 5)
+
+        # Training settings
+        self.epochs = g("epochs", 10)
+        self.early_stopping_patience = g("early_stopping_patience", 3)
+        self.min_examples_per_class = g("min_examples_per_class", 3)
+
+        # Prediction settings
+        self.prototype_weight = g("prototype_weight", 0.7)
+        self.neural_weight = g("neural_weight", 0.3)
+        self.min_confidence = g("min_confidence", 0.1)
+
+        # Device settings
+        self.device_map = g("device_map", "auto")
+        self.quantization = g("quantization", None)
+        self.gradient_checkpointing = g("gradient_checkpointing", False)
+
+        # Strategic classification settings
+        self.enable_strategic_mode = g("enable_strategic_mode", False)
+        self.cost_function_type = g("cost_function_type", "separable")
+        self.strategic_lambda = g("strategic_lambda", 0.1)
+        self.cost_coefficients = g("cost_coefficients", {})
+        self.strategic_training_frequency = g("strategic_training_frequency", 10)
+
+        # Strategic prediction blending weights
+        self.strategic_blend_regular_weight = g("strategic_blend_regular_weight", 0.6)
+        self.strategic_blend_strategic_weight = g("strategic_blend_strategic_weight", 0.4)
+        self.strategic_robust_proto_weight = g("strategic_robust_proto_weight", 0.8)
+        self.strategic_robust_head_weight = g("strategic_robust_head_weight", 0.2)
+        self.strategic_prediction_proto_weight = g("strategic_prediction_proto_weight", 0.5)
+        self.strategic_prediction_head_weight = g("strategic_prediction_head_weight", 0.5)
+
+        # ------------------------------------------------------------------
+        # TPU-native settings (no reference analog)
+        # ------------------------------------------------------------------
+        #: compute dtype for the encoder forward ("bfloat16" rides the MXU)
+        self.compute_dtype = g("compute_dtype", "bfloat16")
+        #: class-capacity buckets: device buffers are padded to these sizes so
+        #: runtime class addition does not trigger a recompile per class
+        self.class_capacity_buckets = g("class_capacity_buckets", [8, 16, 32, 64, 128, 256])
+        #: example-capacity buckets (per class), capped at max_examples_per_class+slack
+        self.example_capacity_buckets = g("example_capacity_buckets", [32, 128, 512, 1024, 2048])
+        #: extra headroom in the example buffer so batch appends can land
+        #: before the prune step runs (reference prunes per-add: memory.py:64-65)
+        self.example_capacity_slack = g("example_capacity_slack", 256)
+        #: training-set size buckets for the jitted head-training scan
+        self.train_size_buckets = g("train_size_buckets", [64, 256, 1024, 4096, 16384])
+        #: use the Pallas fused kNN kernel when the padded class count is at
+        #: least this large; below it XLA's plain lowering is already optimal
+        self.pallas_knn_min_classes = g("pallas_knn_min_classes", 512)
+        #: number of candidates for the strategic best-response sweep
+        self.strategic_num_candidates = g("strategic_num_candidates", 50)
+
+    def update(self, **kwargs):
+        for key, value in kwargs.items():
+            if hasattr(self, key):
+                setattr(self, key, value)
+            else:
+                logger.warning(f"Unknown configuration parameter: {key}")
+
+    def to_dict(self) -> Dict[str, Any]:
+        """Reference-compatible serialization (models.py:164-196)."""
+        return {k: getattr(self, k) for k in self._REFERENCE_KEYS}
+
+    def to_full_dict(self) -> Dict[str, Any]:
+        """Serialization including TPU-native keys."""
+        d = self.to_dict()
+        d.update({
+            "compute_dtype": self.compute_dtype,
+            "class_capacity_buckets": self.class_capacity_buckets,
+            "example_capacity_buckets": self.example_capacity_buckets,
+            "example_capacity_slack": self.example_capacity_slack,
+            "train_size_buckets": self.train_size_buckets,
+            "pallas_knn_min_classes": self.pallas_knn_min_classes,
+            "strategic_num_candidates": self.strategic_num_candidates,
+        })
+        return d
+
+    # -- capacity helpers ------------------------------------------------
+    def class_capacity(self, num_classes: int) -> int:
+        return bucket_capacity(max(num_classes, 1), self.class_capacity_buckets)
+
+    def example_capacity(self, max_count: int) -> int:
+        cap_limit = self.max_examples_per_class + self.example_capacity_slack
+        return min(bucket_capacity(max(max_count, 1), self.example_capacity_buckets), cap_limit)
+
+    def train_capacity(self, n: int) -> int:
+        return bucket_capacity(max(n, 1), self.train_size_buckets)

@@ -1,0 +1,424 @@
+"""Prototype memory — padded device buffers + jitted state transitions.
+
+TPU-native re-design of the reference's ``PrototypeMemory``
+(reference: src/adaptive_classifier/memory.py:11-295).  The reference keeps
+Python lists of per-class examples plus a host-side FAISS index that must be
+rebuilt as classes change.  Here all example embeddings live in one
+fixed-capacity padded device buffer ``[C, E, D]``; prototypes are masked means
+recomputed on device; "index rebuild" does not exist (kNN always reads the
+current prototype matrix).  Class and example capacities grow in coarse
+buckets so runtime class addition never recompiles per class.
+
+Semantics preserved from the reference:
+- prototype = mean of stored example embeddings (memory.py:148-153);
+- similarity = exp(−‖q−p‖²) then softmax over returned neighbors
+  (memory.py:117-134) — implemented in ops/knn.py;
+- capacity pruning keeps the examples closest to the class mean
+  (memory.py:196-217), including their distance-sorted order;
+- ``get_nearest_prototypes`` returns [] when no prototypes exist.
+
+Concurrency: the reference's memory has no locks and survives threaded use
+only by grace of the GIL (tests/test_memory.py:226-256).  Here every mutation
+is a pure ``state → state'`` function applied by a single host writer; readers
+always see a consistent device state snapshot.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .config import Example, ModelConfig
+from .ops import knn
+
+logger = logging.getLogger(__name__)
+
+
+@struct.dataclass
+class MemoryState:
+    """Device-resident memory: example buffer, counts, prototypes."""
+
+    emb: jax.Array      # [C, E, D] float32 — example embeddings (padded)
+    count: jax.Array    # [C] int32 — valid examples per class row
+    proto: jax.Array    # [C, D] float32 — masked mean per class row
+
+    @property
+    def class_capacity(self) -> int:
+        return self.emb.shape[0]
+
+    @property
+    def example_capacity(self) -> int:
+        return self.emb.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.emb.shape[2]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.count > 0
+
+
+def init_state(class_capacity: int, example_capacity: int, dim: int) -> MemoryState:
+    return MemoryState(
+        emb=jnp.zeros((class_capacity, example_capacity, dim), jnp.float32),
+        count=jnp.zeros((class_capacity,), jnp.int32),
+        proto=jnp.zeros((class_capacity, dim), jnp.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# jitted state transitions
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def recompute_prototypes(state: MemoryState) -> MemoryState:
+    """Prototype = masked mean over stored examples (memory.py:148-153)."""
+    C, E, _ = state.emb.shape
+    mask = (jnp.arange(E)[None, :] < state.count[:, None]).astype(jnp.float32)
+    sums = jnp.einsum("ce,ced->cd", mask, state.emb)
+    denom = jnp.maximum(state.count.astype(jnp.float32), 1.0)[:, None]
+    return state.replace(proto=sums / denom)
+
+
+@jax.jit
+def add_batch(state: MemoryState, emb: jax.Array, cls: jax.Array) -> MemoryState:
+    """Append a batch of embeddings to their class rows, in order.
+
+    ``cls`` is int32 with −1 marking padding rows.  Position of example *i* is
+    ``count[cls_i]`` plus the number of earlier batch items of the same class,
+    so within-call order matches the reference's sequential appends
+    (classifier.py:156-158).
+    """
+    B = emb.shape[0]
+    valid = cls >= 0
+    safe_cls = jnp.where(valid, cls, 0)
+    # rank of each item within its class inside this batch
+    same = (cls[None, :] == cls[:, None]) & valid[None, :] & valid[:, None]
+    earlier = jnp.tril(same, k=-1)
+    rank = jnp.sum(earlier, axis=1)
+    pos = state.count[safe_cls] + rank
+    pos = jnp.clip(pos, 0, state.example_capacity - 1)
+    # scatter only valid rows: route padding to a dummy slot then restore
+    new_emb = state.emb.at[safe_cls, pos].set(
+        jnp.where(valid[:, None], emb, state.emb[safe_cls, pos])
+    )
+    adds = jnp.zeros_like(state.count).at[safe_cls].add(valid.astype(jnp.int32))
+    new_count = jnp.minimum(state.count + adds, state.example_capacity)
+    state = state.replace(emb=new_emb, count=new_count)
+    return recompute_prototypes(state)
+
+
+@functools.partial(jax.jit, static_argnames=("max_examples",))
+def prune(state: MemoryState, max_examples: int) -> Tuple[MemoryState, jax.Array]:
+    """Keep the ``max_examples`` embeddings closest to each class mean.
+
+    Mirrors memory.py:196-217 including the resulting distance-sorted order.
+    Returns ``(state, order [C, E] int32)`` — the per-class keep order so the
+    host can realign its text lists (order[c, j] = old row index now at j).
+    """
+    C, E, D = state.emb.shape
+    mask = jnp.arange(E)[None, :] < state.count[:, None]
+    mean = recompute_prototypes(state).proto                     # [C, D]
+    diff = state.emb - mean[:, None, :]
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+    dist = jnp.where(mask, dist, jnp.inf)
+    order = jnp.argsort(dist, axis=1, stable=True)               # [C, E]
+    gathered = jnp.take_along_axis(state.emb, order[:, :, None], axis=1)
+    keep_n = jnp.minimum(state.count, max_examples)
+    keep_mask = jnp.arange(E)[None, :] < keep_n[:, None]
+    new_emb = jnp.where(keep_mask[:, :, None], gathered, 0.0)
+    state = state.replace(emb=new_emb, count=keep_n)
+    return recompute_prototypes(state), order
+
+
+@functools.partial(jax.jit, static_argnames=("slot",))
+def clear_class(state: MemoryState, slot: int) -> MemoryState:
+    state = state.replace(
+        emb=state.emb.at[slot].set(0.0),
+        count=state.count.at[slot].set(0),
+        proto=state.proto.at[slot].set(0.0),
+    )
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("n_cap",))
+def gather_training_set(
+    state: MemoryState, n_cap: int
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Compact all stored examples into a flat training set.
+
+    Returns ``(emb [n_cap, D], labels [n_cap] int32, valid [n_cap] bool)``
+    with real rows sorted to the front in class-major order.  This is the
+    device analog of the reference's example-gathering loops
+    (classifier.py:1433-1447) — one stable sort + gather, no host traffic.
+    """
+    C, E, D = state.emb.shape
+    mask = jnp.arange(E)[None, :] < state.count[:, None]            # [C, E]
+    flat_valid = mask.reshape(-1)
+    flat_labels = jnp.broadcast_to(jnp.arange(C)[:, None], (C, E)).reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flat_valid), stable=True)[:n_cap]
+    emb = state.emb.reshape(C * E, D)[order]
+    return emb, flat_labels[order].astype(jnp.int32), flat_valid[order]
+
+
+# ---------------------------------------------------------------------------
+# host facade
+# ---------------------------------------------------------------------------
+
+class PrototypeMemory:
+    """Host shell owning the device MemoryState + label/text bookkeeping.
+
+    API mirrors the reference class (memory.py:11) — ``add_example``,
+    ``get_nearest_prototypes``, ``clear``, ``get_stats`` — while the heavy
+    state lives on device.  Texts stay host-side, aligned row-for-row with the
+    device example buffer.
+    """
+
+    def __init__(self, embedding_dim: int, config: Optional[ModelConfig] = None):
+        self.embedding_dim = embedding_dim
+        self.config = config or ModelConfig()
+        self.label_to_index: Dict[str, int] = {}
+        self.index_to_label: Dict[int, str] = {}
+        self.texts: Dict[str, List[str]] = {}
+        self.strategic_prototypes: Dict[str, np.ndarray] = {}
+        self.updates_since_rebuild = 0  # kept for stats parity; no rebuild exists
+        self.state = init_state(
+            self.config.class_capacity(1),
+            self.config.example_capacity(1),
+            embedding_dim,
+        )
+
+    # -- capacity ------------------------------------------------------
+    def _ensure_capacity(self, num_classes: int, max_count: int):
+        C_need = self.config.class_capacity(num_classes)
+        E_need = self.config.example_capacity(max_count)
+        C, E, D = self.state.emb.shape
+        if C_need > C or E_need > E:
+            C_new, E_new = max(C_need, C), max(E_need, E)
+            emb = jnp.zeros((C_new, E_new, D), jnp.float32)
+            emb = emb.at[:C, :E].set(self.state.emb)
+            count = jnp.zeros((C_new,), jnp.int32).at[:C].set(self.state.count)
+            proto = jnp.zeros((C_new, D), jnp.float32).at[:C].set(self.state.proto)
+            self.state = MemoryState(emb=emb, count=count, proto=proto)
+            logger.debug(f"Memory grown to C={C_new}, E={E_new}")
+
+    def _slot(self, label: str) -> int:
+        if label not in self.label_to_index:
+            idx = len(self.label_to_index)
+            self._ensure_capacity(idx + 1, 1)
+            self.label_to_index[label] = idx
+            self.index_to_label[idx] = label
+            self.texts[label] = []
+        return self.label_to_index[label]
+
+    def register_label(self, label: str) -> int:
+        """Pre-register a label so memory slot ids equal classifier label ids.
+
+        The classifier assigns ids alphabetically among new classes
+        (reference classifier.py:146-150) and registers them here in that
+        order before adding examples."""
+        return self._slot(label)
+
+    def _counts_host(self) -> Dict[str, int]:
+        return {lbl: len(ts) for lbl, ts in self.texts.items()}
+
+    # -- mutation ------------------------------------------------------
+    def add_example(self, example: Example, label: str):
+        """Single-example add (reference memory.py:41-83)."""
+        if example.embedding is None:
+            raise ValueError("Example must have an embedding")
+        emb = np.asarray(example.embedding, dtype=np.float32).reshape(-1)
+        if emb.shape[-1] != self.embedding_dim:
+            raise ValueError(
+                f"Example embedding dimension {emb.shape[-1]} "
+                f"does not match memory dimension {self.embedding_dim}"
+            )
+        self.add_batch_host([example.text], emb[None, :], [label])
+
+    def add_batch_host(self, texts: List[str], embs: np.ndarray, labels: List[str]):
+        """Batched device append + prune; keeps host text lists aligned."""
+        slots = np.asarray([self._slot(l) for l in labels], dtype=np.int32)
+        counts = self._counts_host()
+        max_after = max(
+            (counts.get(l, 0) + labels.count(l) for l in set(labels)), default=1
+        )
+        self._ensure_capacity(len(self.label_to_index), min(max_after, self.state.example_capacity))
+
+        # chunk so a single call never overflows the slack region of the buffer
+        E = self.state.example_capacity
+        chunk = max(1, self.config.example_capacity_slack)
+        for s in range(0, len(labels), chunk):
+            cs = slice(s, s + chunk)
+            self.state = add_batch(
+                self.state,
+                jnp.asarray(embs[cs], jnp.float32),
+                jnp.asarray(slots[cs]),
+            )
+            for t, l in zip(texts[cs], labels[cs]):
+                self.texts[l].append(t)
+                # reference caps stored examples; overflow beyond the device
+                # buffer keeps the closest-to-mean subset (prune below)
+                if len(self.texts[l]) > E:
+                    self.texts[l] = self.texts[l][:E]
+            self.updates_since_rebuild += len(labels[cs])
+            if any(len(self.texts[l]) > self.config.max_examples_per_class for l in set(labels[cs])):
+                self._prune()
+        if self.updates_since_rebuild >= self.config.prototype_update_frequency:
+            self.updates_since_rebuild = 0
+
+    def _prune(self):
+        self.state, order = prune(self.state, self.config.max_examples_per_class)
+        order_np = np.asarray(order)
+        for label, slot in self.label_to_index.items():
+            ts = self.texts[label]
+            if len(ts) > self.config.max_examples_per_class:
+                keep = order_np[slot, : self.config.max_examples_per_class]
+                self.texts[label] = [ts[i] for i in keep if i < len(ts)]
+
+    def clear(self):
+        """Reference memory.py:238-245."""
+        C, E, D = self.state.emb.shape
+        self.state = init_state(C, E, D)
+        self.label_to_index.clear()
+        self.index_to_label.clear()
+        self.texts.clear()
+        self.strategic_prototypes.clear()
+        self.updates_since_rebuild = 0
+
+    def remove_label(self, label: str):
+        if label not in self.label_to_index:
+            return
+        slot = self.label_to_index[label]
+        self.state = clear_class(self.state, slot)
+        self.texts[label] = []
+
+    # -- queries -------------------------------------------------------
+    def sims_for(self, queries: jax.Array) -> jax.Array:
+        """Masked exp(−d²) similarities [B, C] against current prototypes."""
+        return knn.masked_sims(
+            queries, self.state.proto, self.state.valid,
+            pallas_min_classes=self.config.pallas_knn_min_classes,
+        )
+
+    def get_nearest_prototypes(
+        self,
+        query_embedding,
+        k: int = 5,
+        min_similarity: Optional[float] = None,
+    ) -> List[Tuple[str, float]]:
+        """Reference memory.py:85-136 — list of (label, softmax score)."""
+        counts = self._counts_host()
+        n_valid = sum(1 for v in counts.values() if v > 0)
+        if n_valid == 0:
+            return []
+        k = min(k, n_valid)
+        q = jnp.asarray(np.asarray(query_embedding, np.float32)).reshape(1, -1)
+        sims = self.sims_for(q)
+        scores, idx = knn.topk_scores(sims, self.state.valid, k)
+        scores = np.asarray(scores[0])
+        idx = np.asarray(idx[0])
+        results = []
+        for i, s in zip(idx, scores):
+            if i >= 0:
+                if min_similarity is not None and s < min_similarity:
+                    continue
+                results.append((self.index_to_label[int(i)], float(s)))
+        return results
+
+    @property
+    def prototypes(self) -> Dict[str, np.ndarray]:
+        """Host view of valid prototypes (labels with ≥1 example)."""
+        proto = np.asarray(self.state.proto)
+        return {
+            lbl: proto[slot]
+            for lbl, slot in self.label_to_index.items()
+            if len(self.texts.get(lbl, ())) > 0
+        }
+
+    @property
+    def examples(self) -> Dict[str, List[Example]]:
+        """Host view reconstructing Example objects (reference-compatible)."""
+        emb = np.asarray(self.state.emb)
+        out: Dict[str, List[Example]] = {}
+        for lbl, slot in self.label_to_index.items():
+            ts = self.texts.get(lbl, [])
+            if ts:
+                out[lbl] = [
+                    Example(t, lbl, emb[slot, i].copy()) for i, t in enumerate(ts)
+                ]
+        return out
+
+    def class_embeddings(self, label: str) -> np.ndarray:
+        slot = self.label_to_index[label]
+        n = len(self.texts.get(label, ()))
+        return np.asarray(self.state.emb[slot, :n])
+
+    def get_stats(self) -> Dict[str, Any]:
+        """Reference memory.py:219-236."""
+        counts = self._counts_host()
+        return {
+            "num_classes": sum(1 for v in counts.values() if v > 0),
+            "examples_per_class": {l: c for l, c in counts.items() if c > 0},
+            "total_examples": sum(counts.values()),
+            "prototype_dimensions": self.embedding_dim,
+            "updates_since_rebuild": self.updates_since_rebuild,
+        }
+
+    def restore_class(self, label: str, texts: List[str], embs: np.ndarray,
+                      prototype: Optional[np.ndarray] = None):
+        """Load-path restore: install examples and (optionally) an exact saved
+        prototype (reference classifier.py:879-895).
+
+        The reference restores prototypes from the checkpoint rather than
+        recomputing from the (lossy, k-means-selected) saved examples, so
+        predictions stay consistent across save/load.
+        """
+        slot = self._slot(label)
+        n = len(texts)
+        self._ensure_capacity(len(self.label_to_index), max(n, 1))
+        self.texts[label] = list(texts)
+        if n > 0:
+            self.state = self.state.replace(
+                emb=self.state.emb.at[slot, :n].set(jnp.asarray(embs, jnp.float32)),
+                count=self.state.count.at[slot].set(n),
+            )
+        self.state = recompute_prototypes(self.state)
+        if prototype is not None:
+            self.state = self.state.replace(
+                proto=self.state.proto.at[slot].set(jnp.asarray(prototype, jnp.float32)),
+                count=jnp.maximum(self.state.count, (jnp.arange(self.state.class_capacity) == slot).astype(jnp.int32)),
+            )
+
+    # -- strategic prototypes (reference memory.py:247-295) -------------
+    def compute_strategic_prototypes(self, cost_function, classifier_func):
+        """Mean of best-response embeddings per class (memory.py:247-268),
+        computed as one vmapped batch per class instead of a Python loop."""
+        for label, slot in self.label_to_index.items():
+            n = len(self.texts.get(label, ()))
+            if n == 0:
+                continue
+            embs = self.state.emb[slot, :n]
+            moved = cost_function.compute_best_response_batch(embs, classifier_func)
+            self.strategic_prototypes[label] = np.asarray(jnp.mean(moved, axis=0))
+
+    def get_strategic_prototypes(self, query_embedding, k: int = 5) -> List[Tuple[str, float]]:
+        """Cosine-similarity ranking against strategic prototypes
+        (memory.py:270-295; the reference version has a latent NameError —
+        it uses ``F.cosine_similarity`` without importing F — fixed here)."""
+        if not self.strategic_prototypes:
+            return self.get_nearest_prototypes(query_embedding, k)
+        q = np.asarray(query_embedding, np.float32).reshape(-1)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        sims = []
+        for label, proto in self.strategic_prototypes.items():
+            p = proto / max(float(np.linalg.norm(proto)), 1e-12)
+            sims.append((label, float(np.dot(qn, p))))
+        sims.sort(key=lambda x: x[1], reverse=True)
+        return sims[:k]

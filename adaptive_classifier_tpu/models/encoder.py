@@ -1,0 +1,394 @@
+"""Pure-JAX transformer encoder (BERT family).
+
+TPU-native replacement for the reference's torch/ONNX embedding backbone
+(reference: src/adaptive_classifier/classifier.py:58-85,1249-1282).  Instead of
+wrapping a foreign runtime, the encoder is a jitted JAX forward:
+
+- parameters are a pytree with all layers **stacked** on a leading axis and the
+  forward is a ``lax.scan`` over layers — one layer body compiled once,
+  friendly to pipeline/tensor sharding;
+- matmuls run in bfloat16 on the MXU with float32 layernorm/softmax statistics;
+- the CLS-pool + L2-normalize epilogue is fused into the same jit, so
+  tokenize → embed is host→device once per batch.
+
+Weights load from any local HuggingFace BERT/DistilBERT checkpoint
+(model.safetensors / pytorch_model.bin).  With no checkpoint available the
+encoder falls back to deterministic random initialization with the named
+architecture's exact shapes, so the full pipeline runs hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    pad_token_id: int = 0
+    arch: str = "bert"  # "bert" | "distilbert"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+#: named architectures for offline (weightless) operation — exact dims of the
+#: HF models the reference's tests use (SURVEY.md §4)
+KNOWN_ARCHS: Dict[str, EncoderConfig] = {
+    "prajjwal1/bert-tiny": EncoderConfig(hidden_size=128, num_layers=2, num_heads=2, intermediate_size=512),
+    "bert-base-uncased": EncoderConfig(),
+    "bert-base-cased": EncoderConfig(vocab_size=28996),
+    "google-bert/bert-large-cased": EncoderConfig(vocab_size=28996, hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
+    "bert-large-uncased": EncoderConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
+    "distilbert-base-uncased": EncoderConfig(num_layers=6, type_vocab_size=0, arch="distilbert"),
+    "distilbert-base-cased": EncoderConfig(vocab_size=28996, num_layers=6, type_vocab_size=0, arch="distilbert"),
+}
+
+
+def config_for_model_name(name: str) -> EncoderConfig:
+    if name in KNOWN_ARCHS:
+        return KNOWN_ARCHS[name]
+    lowered = name.lower()
+    if "tiny" in lowered:
+        return KNOWN_ARCHS["prajjwal1/bert-tiny"]
+    if "large" in lowered:
+        return KNOWN_ARCHS["bert-large-uncased"]
+    if "distil" in lowered:
+        return KNOWN_ARCHS["distilbert-base-uncased"]
+    return EncoderConfig()
+
+
+# ---------------------------------------------------------------------------
+# parameter initialization
+# ---------------------------------------------------------------------------
+
+def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, Any]:
+    """BERT-style init: normal(0.02) weights, zero biases, unit layernorm.
+
+    Generated with a seeded numpy RNG on host (one device_put, no per-tensor
+    jit dispatches) — deterministic across processes and platforms.
+    """
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    rng = np.random.default_rng(seed)
+
+    def nrm(shape):
+        return jnp.asarray(rng.standard_normal(shape, np.float32) * 0.02, dtype)
+
+    params = {
+        "embeddings": {
+            "word": nrm((cfg.vocab_size, D)),
+            "position": nrm((cfg.max_position_embeddings, D)),
+            "token_type": nrm((max(cfg.type_vocab_size, 1), D)),
+            "ln_scale": jnp.ones((D,), dtype),
+            "ln_bias": jnp.zeros((D,), dtype),
+        },
+        "layers": {
+            "q_w": nrm((L, D, D)), "q_b": jnp.zeros((L, D), dtype),
+            "k_w": nrm((L, D, D)), "k_b": jnp.zeros((L, D), dtype),
+            "v_w": nrm((L, D, D)), "v_b": jnp.zeros((L, D), dtype),
+            "o_w": nrm((L, D, D)), "o_b": jnp.zeros((L, D), dtype),
+            "attn_ln_scale": jnp.ones((L, D), dtype), "attn_ln_bias": jnp.zeros((L, D), dtype),
+            "ffn_in_w": nrm((L, D, F)), "ffn_in_b": jnp.zeros((L, F), dtype),
+            "ffn_out_w": nrm((L, F, D)), "ffn_out_b": jnp.zeros((L, D), dtype),
+            "ffn_ln_scale": jnp.ones((L, D), dtype), "ffn_ln_bias": jnp.zeros((L, D), dtype),
+        },
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward pass
+# ---------------------------------------------------------------------------
+
+def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def encoder_forward(
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Full encoder forward → last_hidden_state ``[B, S, D]`` (float32)."""
+    B, S = input_ids.shape
+    emb = params["embeddings"]
+    h = emb["word"][input_ids]
+    h = h + emb["position"][jnp.arange(S)][None, :, :]
+    if cfg.type_vocab_size > 0:
+        h = h + emb["token_type"][0][None, None, :]
+    h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+    h = h.astype(compute_dtype)
+
+    # additive attention mask [B, 1, 1, S]
+    neg = jnp.asarray(-1e9, jnp.float32)
+    amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+
+    H, Dh = cfg.num_heads, cfg.head_dim
+    scale = 1.0 / np.sqrt(Dh)
+
+    def layer_body(h, lp):
+        x = h
+
+        def proj(w, b):
+            y = jnp.einsum("bsd,de->bse", x, w.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+            return (y + b.astype(jnp.float32)).astype(compute_dtype)
+
+        q = proj(lp["q_w"], lp["q_b"]).reshape(B, S, H, Dh)
+        k = proj(lp["k_w"], lp["k_b"]).reshape(B, S, H, Dh)
+        v = proj(lp["v_w"], lp["v_b"]).reshape(B, S, H, Dh)
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = logits + amask
+        probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, S, H * Dh).astype(compute_dtype)
+        attn_out = jnp.einsum("bsd,de->bse", ctx, lp["o_w"].astype(compute_dtype),
+                              preferred_element_type=jnp.float32) + lp["o_b"].astype(jnp.float32)
+        h = _layer_norm(attn_out.astype(compute_dtype) + x,
+                        lp["attn_ln_scale"], lp["attn_ln_bias"], cfg.layer_norm_eps)
+
+        ff = jnp.einsum("bsd,df->bsf", h, lp["ffn_in_w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + lp["ffn_in_b"].astype(jnp.float32)
+        ff = jax.nn.gelu(ff, approximate=False).astype(compute_dtype)
+        ff = jnp.einsum("bsf,fd->bsd", ff, lp["ffn_out_w"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32) + lp["ffn_out_b"].astype(jnp.float32)
+        h = _layer_norm(ff.astype(compute_dtype) + h,
+                        lp["ffn_ln_scale"], lp["ffn_ln_bias"], cfg.layer_norm_eps)
+        return h, None
+
+    h, _ = jax.lax.scan(layer_body, h, params["layers"])
+    return h.astype(jnp.float32)
+
+
+def embed_texts_device(
+    params: Dict[str, Any],
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    cfg: EncoderConfig,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Encoder forward + CLS pool + L2 normalize → ``[B, D]`` float32.
+
+    Mirrors the reference's ``_get_embeddings`` epilogue
+    (classifier.py:1271-1282) but fused on-device.
+    """
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg, compute_dtype)
+    cls = hidden[:, 0, :]
+    norm = jnp.linalg.norm(cls, axis=-1, keepdims=True)
+    return cls / jnp.maximum(norm, 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# HuggingFace checkpoint loading (local files only)
+# ---------------------------------------------------------------------------
+
+def _find_local_checkpoint(model_name: str) -> Optional[Path]:
+    p = Path(model_name)
+    if p.is_dir() and (p / "config.json").exists():
+        return p
+    cache = Path(os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")) / "hub"
+    repo_dir = cache / f"models--{model_name.replace('/', '--')}" / "snapshots"
+    if repo_dir.exists():
+        snaps = sorted(repo_dir.iterdir())
+        for snap in reversed(snaps):
+            if (snap / "config.json").exists():
+                return snap
+    return None
+
+
+def _read_hf_config(path: Path) -> EncoderConfig:
+    cfg = json.loads((path / "config.json").read_text())
+    arch = "distilbert" if "distilbert" in (cfg.get("model_type") or "") else "bert"
+    if arch == "distilbert":
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=cfg["dim"],
+            num_layers=cfg["n_layers"], num_heads=cfg["n_heads"],
+            intermediate_size=cfg["hidden_dim"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 512),
+            type_vocab_size=0, layer_norm_eps=1e-12,
+            pad_token_id=cfg.get("pad_token_id", 0), arch="distilbert",
+        )
+    return EncoderConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+        intermediate_size=cfg["intermediate_size"],
+        max_position_embeddings=cfg.get("max_position_embeddings", 512),
+        type_vocab_size=cfg.get("type_vocab_size", 2),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+        pad_token_id=cfg.get("pad_token_id", 0), arch="bert",
+    )
+
+
+def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
+    st = path / "model.safetensors"
+    if st.exists():
+        from safetensors.numpy import load_file
+        return load_file(str(st))
+    pt = path / "pytorch_model.bin"
+    if pt.exists():
+        import torch
+        sd = torch.load(str(pt), map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"No weights file in {path}")
+
+
+def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, Any]:
+    """Map HF BERT/DistilBERT tensor names into the stacked-layer pytree."""
+    # strip the model prefix if present
+    prefixes = ("bert.", "distilbert.", "")
+    def get(name: str) -> np.ndarray:
+        for p in prefixes:
+            if p + name in sd:
+                return sd[p + name]
+        raise KeyError(name)
+
+    D = cfg.hidden_size
+    if cfg.arch == "distilbert":
+        emb = {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "token_type": np.zeros((1, D), np.float32),
+            "ln_scale": get("embeddings.LayerNorm.weight"),
+            "ln_bias": get("embeddings.LayerNorm.bias"),
+        }
+        names = {
+            "q": "attention.q_lin", "k": "attention.k_lin", "v": "attention.v_lin",
+            "o": "attention.out_lin", "attn_ln": "sa_layer_norm",
+            "ffn_in": "ffn.lin1", "ffn_out": "ffn.lin2", "ffn_ln": "output_layer_norm",
+        }
+        layer_fmt = "transformer.layer.{i}.{n}"
+    else:
+        emb = {
+            "word": get("embeddings.word_embeddings.weight"),
+            "position": get("embeddings.position_embeddings.weight"),
+            "token_type": get("embeddings.token_type_embeddings.weight"),
+            "ln_scale": get("embeddings.LayerNorm.weight"),
+            "ln_bias": get("embeddings.LayerNorm.bias"),
+        }
+        names = {
+            "q": "attention.self.query", "k": "attention.self.key",
+            "v": "attention.self.value", "o": "attention.output.dense",
+            "attn_ln": "attention.output.LayerNorm",
+            "ffn_in": "intermediate.dense", "ffn_out": "output.dense",
+            "ffn_ln": "output.LayerNorm",
+        }
+        layer_fmt = "encoder.layer.{i}.{n}"
+
+    def lget(i: int, n: str, suffix: str) -> np.ndarray:
+        return get(layer_fmt.format(i=i, n=names[n]) + "." + suffix)
+
+    L = cfg.num_layers
+    layers: Dict[str, np.ndarray] = {}
+    # torch Linear stores [out, in]; transpose to [in, out] for x @ W
+    for key, ln in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "o")):
+        layers[f"{key}_w"] = np.stack([lget(i, ln, "weight").T for i in range(L)])
+        layers[f"{key}_b"] = np.stack([lget(i, ln, "bias") for i in range(L)])
+    layers["attn_ln_scale"] = np.stack([lget(i, "attn_ln", "weight") for i in range(L)])
+    layers["attn_ln_bias"] = np.stack([lget(i, "attn_ln", "bias") for i in range(L)])
+    layers["ffn_in_w"] = np.stack([lget(i, "ffn_in", "weight").T for i in range(L)])
+    layers["ffn_in_b"] = np.stack([lget(i, "ffn_in", "bias") for i in range(L)])
+    layers["ffn_out_w"] = np.stack([lget(i, "ffn_out", "weight").T for i in range(L)])
+    layers["ffn_out_b"] = np.stack([lget(i, "ffn_out", "bias") for i in range(L)])
+    layers["ffn_ln_scale"] = np.stack([lget(i, "ffn_ln", "weight") for i in range(L)])
+    layers["ffn_ln_bias"] = np.stack([lget(i, "ffn_ln", "bias") for i in range(L)])
+
+    to_jnp = lambda t: jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), t)
+    return {"embeddings": to_jnp(emb), "layers": to_jnp(layers)}
+
+
+# ---------------------------------------------------------------------------
+# Encoder facade
+# ---------------------------------------------------------------------------
+
+class Encoder:
+    """Owns encoder params + tokenizer + the jitted embed function.
+
+    ``Encoder(model_name)`` loads a local HF checkpoint when one exists,
+    otherwise deterministically random-initializes the named architecture
+    (offline mode) so every downstream component still runs end-to-end.
+    """
+
+    def __init__(self, model_name: str, compute_dtype: str = "bfloat16", seed: int = 0):
+        from .tokenizer import WordPieceTokenizer
+
+        self.model_name = model_name
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        ckpt = _find_local_checkpoint(model_name)
+        if ckpt is not None:
+            self.config = _read_hf_config(ckpt)
+            self.params = _map_hf_weights(_load_state_dict(ckpt), self.config)
+            try:
+                self.tokenizer = WordPieceTokenizer.from_pretrained(str(ckpt))
+            except FileNotFoundError:
+                self.tokenizer = WordPieceTokenizer.hermetic(self.config.vocab_size)
+            self.pretrained = True
+            logger.info(f"Loaded encoder weights from {ckpt}")
+        else:
+            self.config = config_for_model_name(model_name)
+            # name-derived seed: same model name → same weights, always
+            name_seed = (seed * 1000003 + (hash_name(model_name) % 65521)) & 0x7FFFFFFF
+            self.params = init_params(name_seed, self.config)
+            self.tokenizer = WordPieceTokenizer.hermetic(self.config.vocab_size)
+            # hermetic vocab is smaller than the arch's — shrink the table
+            V = self.tokenizer.vocab_size
+            self.params["embeddings"]["word"] = self.params["embeddings"]["word"][:V]
+            self.config = EncoderConfig(**{**self.config.__dict__, "vocab_size": V})
+            self.pretrained = False
+            logger.warning(
+                f"No local checkpoint for '{model_name}'; using deterministic "
+                f"random weights (offline mode)"
+            )
+
+        cfg = self.config
+        cd = self.compute_dtype
+
+        @jax.jit
+        def _embed(params, input_ids, attention_mask):
+            return embed_texts_device(params, input_ids, attention_mask, cfg, cd)
+
+        self._embed = _embed
+
+    @property
+    def hidden_size(self) -> int:
+        return self.config.hidden_size
+
+    def embed(self, texts, max_length: int = 512) -> jax.Array:
+        """Tokenize on host, embed on device → normalized ``[B, D]`` float32."""
+        ids, mask = self.tokenizer(texts, max_length=max_length, pad_to_multiple_of=64)
+        return self._embed(self.params, jnp.asarray(ids), jnp.asarray(mask))
+
+
+def hash_name(s: str) -> int:
+    """Stable string hash (Python's builtin hash is salted per-process)."""
+    h = 2166136261
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h

@@ -1,0 +1,96 @@
+"""Prediction fusion — prototype/neural score combination, fully on device.
+
+Implements the reference's two fusion semantics exactly:
+
+- ``fuse_full``: ``_predict_regular`` (reference classifier.py:415-480) —
+  prototype softmax over ALL valid classes + head softmax over ALL active
+  classes, combined with per-label weights derived from the training history
+  (<10 trained examples → proto 0.3/head 0.7, else 0.7/0.3), sum-normalized,
+  top-k.
+- ``fuse_topk``: ``predict_batch`` / ``_predict_from_embedding``
+  (classifier.py:1308-1388, :1723-1797) — prototype softmax over only the
+  top-k neighbors, head probabilities truncated to their top-k, fixed scalar
+  weights.  The reference's predict-vs-predict_batch weighting inconsistency
+  is preserved deliberately (SURVEY.md §2.1 "Prediction fusion").
+
+The whole batch fuses in one jitted call — the reference loops per embedding
+in Python (classifier.py:1328-1384).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import knn
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_head"))
+def fuse_full(
+    sims: jax.Array,          # [B, C] masked exp(−d²) similarities
+    logits: jax.Array,        # [B, C] raw head logits (ignored if not has_head)
+    proto_valid: jax.Array,   # [C] bool — classes with prototypes
+    active: jax.Array,        # [C] bool — registered classes (head slots)
+    proto_w: jax.Array,       # [C] float — per-label prototype weight
+    head_w: jax.Array,        # [C] float — per-label head weight
+    k: int,
+    has_head: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """→ (scores [B, k], class ids [B, k]); empty slots get id −1, score 0."""
+    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
+    combined = proto_scores * proto_w[None, :]
+    if has_head:
+        masked = jnp.where(active[None, :], logits, -1e9)
+        head_probs = jax.nn.softmax(masked, axis=-1)
+        head_probs = jnp.where(active[None, :], head_probs, 0.0)
+        combined = combined + head_probs * head_w[None, :]
+    total = jnp.sum(combined, axis=-1, keepdims=True)
+    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12), combined)
+    scorable = proto_valid | (active if has_head else jnp.zeros_like(active))
+    ranked = jnp.where(scorable[None, :], combined, -jnp.inf)
+    vals, idx = jax.lax.top_k(ranked, k)
+    n_scorable = jnp.sum(scorable.astype(jnp.int32))
+    in_range = jnp.arange(k)[None, :] < n_scorable
+    return jnp.where(in_range, vals, 0.0), jnp.where(in_range, idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_head"))
+def fuse_topk(
+    sims: jax.Array,
+    logits: jax.Array,
+    proto_valid: jax.Array,
+    active: jax.Array,
+    proto_weight: float,
+    head_weight: float,
+    k: int,
+    has_head: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k-restricted fusion with fixed scalar weights → (scores, ids)."""
+    B, C = sims.shape
+    kk = min(k, C)
+    topk_scores, topk_idx = knn.topk_scores(sims, proto_valid, kk)   # [B, kk]
+    # scatter the top-k softmax scores back into a [B, C] vector
+    proto_vec = jnp.zeros((B, C))
+    rows = jnp.arange(B)[:, None]
+    safe_idx = jnp.clip(topk_idx, 0)
+    proto_vec = proto_vec.at[rows, safe_idx].add(
+        jnp.where(topk_idx >= 0, topk_scores, 0.0)
+    )
+    combined = proto_vec * proto_weight
+    if has_head:
+        masked = jnp.where(active[None, :], logits, -1e9)
+        head_probs = jax.nn.softmax(masked, axis=-1)
+        head_probs = jnp.where(active[None, :], head_probs, 0.0)
+        # keep only each row's top-k head probabilities (classifier.py:1347-1354)
+        hvals, hidx = jax.lax.top_k(head_probs, kk)
+        head_vec = jnp.zeros((B, C)).at[rows, hidx].add(hvals)
+        combined = combined + head_vec * head_weight
+    total = jnp.sum(combined, axis=-1, keepdims=True)
+    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12), combined)
+    ranked = jnp.where(combined > 0, combined, -jnp.inf)
+    vals, idx = jax.lax.top_k(ranked, kk)
+    ok = vals > -jnp.inf
+    return jnp.where(ok, vals, 0.0), jnp.where(ok, idx, -1)

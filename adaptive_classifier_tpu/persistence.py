@@ -1,0 +1,254 @@
+"""Checkpoint save/load — reference-compatible on-disk format.
+
+Implements the reference's persistence layer (reference:
+src/adaptive_classifier/classifier.py:524-915,1109-1213): ``config.json``
+(label maps, train_steps, training_history, full config), ``examples.json``
+(k-means-selected representative examples per class), ``model.safetensors``
+(``prototype_{label}`` vectors + ``adaptive_head_model.*`` tensors in torch
+``[out, in]`` layout), and an auto-generated model-card ``README.md``.
+
+Checkpoints are interchangeable with the reference: a classifier saved here
+loads in the reference library and vice versa (the ONNX directory the
+reference optionally adds has no TPU analog — the jitted XLA forward is the
+optimized path — and is simply absent/ignored).
+
+Checkpointing is lossy by design, exactly like the reference: only
+``num_representative_examples`` examples per class survive the round-trip,
+but prototypes and head weights are exact, so predictions stay consistent
+(reference tests/test_confidence_consistency.py:9-46).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from safetensors.numpy import load_file, save_file
+
+from .config import Example, ModelConfig
+from .models import head as head_lib
+
+logger = logging.getLogger(__name__)
+
+
+def save_classifier(clf, save_directory: Path) -> Dict[str, str]:
+    save_directory = Path(save_directory)
+    os.makedirs(save_directory, exist_ok=True)
+
+    config_dict = {
+        "model_name": clf.model_name,
+        "embedding_dim": clf.embedding_dim,
+        "label_to_id": clf.label_to_id,
+        "id_to_label": {str(k): v for k, v in clf.id_to_label.items()},
+        "train_steps": clf.train_steps,
+        "training_history": clf.training_history,
+        "config": clf.config.to_full_dict(),
+        "library_name": "adaptive-classifier",
+    }
+
+    # representative examples (classifier.py:559-566)
+    saved_examples: Dict[str, Any] = {}
+    for label, examples in clf.memory.examples.items():
+        reps = clf.select_representative_examples(
+            examples, k=clf.config.num_representative_examples
+        )
+        saved_examples[label] = [ex.to_dict() for ex in reps]
+
+    # tensors (classifier.py:568-591)
+    tensor_dict: Dict[str, np.ndarray] = {}
+    for label, proto in clf.memory.prototypes.items():
+        tensor_dict[f"prototype_{label}"] = np.asarray(proto, np.float32)
+    if clf.head_params is not None:
+        sd = head_lib.to_torch_state_dict(clf.head_params, max(len(clf.label_to_id), 1))
+        for name, tensor in sd.items():
+            tensor_dict[f"adaptive_head_{name}"] = tensor
+
+    (save_directory / "config.json").write_text(
+        json.dumps(config_dict, indent=2, sort_keys=True), encoding="utf-8"
+    )
+    (save_directory / "examples.json").write_text(
+        json.dumps(saved_examples, indent=2, sort_keys=True), encoding="utf-8"
+    )
+    save_file(tensor_dict, str(save_directory / "model.safetensors"))
+
+    model_card_path = save_directory / "README.md"
+    if not model_card_path.exists():
+        model_card_path.write_text(generate_model_card(clf), encoding="utf-8")
+
+    return {
+        "config": "config.json",
+        "examples": "examples.json",
+        "model": "model.safetensors",
+        "model_card": "README.md",
+    }
+
+
+def load_classifier(cls, model_path: Path, device: Optional[str] = None):
+    model_path = Path(model_path)
+    config_dict = json.loads((model_path / "config.json").read_text(encoding="utf-8"))
+    saved_examples = json.loads((model_path / "examples.json").read_text(encoding="utf-8"))
+
+    clf = cls(
+        config_dict["model_name"],
+        device=device,
+        config=config_dict.get("config", None),
+    )
+
+    # restore label maps in id order so memory slots == label ids
+    clf.label_to_id = dict(config_dict["label_to_id"])
+    clf.id_to_label = {int(k): v for k, v in config_dict["id_to_label"].items()}
+    for idx in sorted(clf.id_to_label):
+        clf.memory.register_label(clf.id_to_label[idx])
+    clf.train_steps = config_dict["train_steps"]
+    clf.training_history = dict(config_dict.get("training_history", {}))
+
+    tensors = load_file(str(model_path / "model.safetensors"))
+
+    # restore examples + exact saved prototypes (classifier.py:879-895)
+    for label in clf.label_to_id:
+        ex_data = saved_examples.get(label, [])
+        texts = [d["text"] for d in ex_data]
+        embs = (
+            np.asarray([d["embedding"] for d in ex_data], np.float32)
+            if ex_data and ex_data[0].get("embedding") is not None
+            else np.zeros((len(texts), clf.embedding_dim), np.float32)
+        )
+        proto = tensors.get(f"prototype_{label}")
+        if texts or proto is not None:
+            clf.memory.restore_class(label, texts, embs, prototype=proto)
+
+    # restore head (classifier.py:897-906)
+    head_sd = {
+        k[len("adaptive_head_"):]: v
+        for k, v in tensors.items()
+        if k.startswith("adaptive_head_")
+    }
+    if head_sd:
+        params, _ = head_lib.from_torch_state_dict(head_sd, clf._class_capacity)
+        clf.head_params = params
+        clf._ensure_head_capacity()
+
+    # back-compat training-history estimate (classifier.py:908-913)
+    if not clf.training_history:
+        for label, examples in saved_examples.items():
+            clf.training_history[label] = len(examples) * 20
+
+    return clf
+
+
+def from_pretrained(cls, model_id: str, device: Optional[str] = None, **kwargs):
+    """Local directory, or HuggingFace Hub download when available."""
+    path = Path(model_id)
+    if path.is_dir() and (path / "config.json").exists():
+        return load_classifier(cls, path, device=device)
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:
+        raise ValueError(f"Error loading model from {model_id}: {e}")
+    try:
+        config_file = hf_hub_download(repo_id=model_id, filename="config.json", **{
+            k: v for k, v in kwargs.items()
+            if k in ("revision", "cache_dir", "force_download", "token", "local_files_only")
+        })
+        for fname in ("examples.json", "model.safetensors"):
+            hf_hub_download(repo_id=model_id, filename=fname, **{
+                k: v for k, v in kwargs.items()
+                if k in ("revision", "cache_dir", "force_download", "token", "local_files_only")
+            })
+        return load_classifier(cls, Path(os.path.dirname(config_file)), device=device)
+    except Exception as e:
+        raise ValueError(f"Error loading model from {model_id}: {e}")
+
+
+def push_to_hub(clf, repo_id: str, token: Optional[str] = None,
+                commit_message: Optional[str] = None, private: bool = False, **kwargs):
+    """Reference classifier.py:1109-1182."""
+    import tempfile
+
+    try:
+        from huggingface_hub import HfApi
+    except ImportError as e:
+        raise ImportError(f"huggingface_hub is required for push_to_hub: {e}")
+
+    token = token or os.environ.get("HF_TOKEN")
+    with tempfile.TemporaryDirectory() as tmpdir:
+        save_classifier(clf, Path(tmpdir))
+        api = HfApi()
+        try:
+            api.create_repo(repo_id=repo_id, token=token, private=private, exist_ok=True)
+        except Exception as e:
+            logger.warning(f"Could not create repo (may already exist): {e}")
+        api.upload_folder(
+            folder_path=tmpdir, repo_id=repo_id, token=token,
+            commit_message=commit_message or "Upload model with adaptive-classifier-tpu",
+            **kwargs,
+        )
+    logger.info(f"Successfully pushed model to https://huggingface.co/{repo_id}")
+    return f"https://huggingface.co/{repo_id}"
+
+
+def generate_model_card(clf) -> str:
+    """Auto-generated model card (classifier.py:917-1029)."""
+    stats = clf.get_memory_stats()
+    dist_lines = []
+    total = sum(stats["examples_per_class"].values()) or 1
+    for label, count in sorted(stats["examples_per_class"].items()):
+        dist_lines.append(f"{label}: {count} examples ({count / total * 100:.1f}%)")
+    dist = "\n".join(dist_lines) or "No examples stored"
+    return f"""---
+language: multilingual
+tags:
+- adaptive-classifier
+- text-classification
+- continuous-learning
+license: apache-2.0
+---
+
+# Adaptive Classifier (TPU)
+
+This model is an instance of an adaptive classifier supporting continuous
+learning and dynamic class addition, running on the TPU-native
+`adaptive-classifier-tpu` framework (JAX/XLA/Pallas).
+
+## Model Details
+
+- Base Model: {clf.model_name}
+- Number of Classes: {stats['num_classes']}
+- Total Examples: {stats['total_examples']}
+- Embedding Dimension: {clf.embedding_dim}
+
+## Class Distribution
+
+```
+{dist}
+```
+
+## Usage
+
+```python
+from adaptive_classifier_tpu import AdaptiveClassifier
+
+classifier = AdaptiveClassifier.from_pretrained("path-or-repo")
+predictions = classifier.predict("Your text here")
+
+classifier.add_examples(["Example 1", "Example 2"], ["class1", "class2"])
+```
+
+## Training Details
+
+- Training Steps: {clf.train_steps}
+- Prototype Memory: Active
+- Neural Adaptation: {"Active" if clf.head_params is not None else "Inactive"}
+
+## Limitations
+
+This model:
+- Requires at least {clf.config.min_examples_per_class} examples per class
+- Has a maximum of {clf.config.max_examples_per_class} examples per class
+"""
