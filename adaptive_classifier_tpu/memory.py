@@ -243,17 +243,25 @@ class PrototypeMemory:
         self.add_batch_host([example.text], emb[None, :], [label])
 
     def add_batch_host(self, texts: List[str], embs: np.ndarray, labels: List[str]):
-        """Batched device append + prune; keeps host text lists aligned."""
+        """Batched device append + prune; keeps host text lists aligned.
+
+        The buffer holds ``max_examples_per_class + slack`` rows at most;
+        appends land in the slack region and the prune step (keep closest to
+        mean, memory.py:196-217) runs whenever a class exceeds the cap, so no
+        chunk can overflow the device buffer.
+        """
         slots = np.asarray([self._slot(l) for l in labels], dtype=np.int32)
         counts = self._counts_host()
+        adds_per_label = {l: labels.count(l) for l in set(labels)}
         max_after = max(
-            (counts.get(l, 0) + labels.count(l) for l in set(labels)), default=1
+            (counts.get(l, 0) + n for l, n in adds_per_label.items()), default=1
         )
-        self._ensure_capacity(len(self.label_to_index), min(max_after, self.state.example_capacity))
+        self._ensure_capacity(len(self.label_to_index), max_after)
 
-        # chunk so a single call never overflows the slack region of the buffer
         E = self.state.example_capacity
-        chunk = max(1, self.config.example_capacity_slack)
+        max_ex = min(self.config.max_examples_per_class, E)
+        headroom = max(E - max_ex, 1)
+        chunk = max(1, min(self.config.example_capacity_slack, headroom))
         for s in range(0, len(labels), chunk):
             cs = slice(s, s + chunk)
             self.state = add_batch(
@@ -263,23 +271,20 @@ class PrototypeMemory:
             )
             for t, l in zip(texts[cs], labels[cs]):
                 self.texts[l].append(t)
-                # reference caps stored examples; overflow beyond the device
-                # buffer keeps the closest-to-mean subset (prune below)
-                if len(self.texts[l]) > E:
-                    self.texts[l] = self.texts[l][:E]
             self.updates_since_rebuild += len(labels[cs])
-            if any(len(self.texts[l]) > self.config.max_examples_per_class for l in set(labels[cs])):
-                self._prune()
+            if any(len(self.texts[l]) > max_ex for l in set(labels[cs])):
+                self._prune(max_ex)
         if self.updates_since_rebuild >= self.config.prototype_update_frequency:
             self.updates_since_rebuild = 0
 
-    def _prune(self):
-        self.state, order = prune(self.state, self.config.max_examples_per_class)
+    def _prune(self, max_ex: Optional[int] = None):
+        max_ex = max_ex if max_ex is not None else self.config.max_examples_per_class
+        self.state, order = prune(self.state, max_ex)
         order_np = np.asarray(order)
         for label, slot in self.label_to_index.items():
             ts = self.texts[label]
-            if len(ts) > self.config.max_examples_per_class:
-                keep = order_np[slot, : self.config.max_examples_per_class]
+            if len(ts) > max_ex:
+                keep = order_np[slot, :max_ex]
                 self.texts[label] = [ts[i] for i in keep if i < len(ts)]
 
     def clear(self):

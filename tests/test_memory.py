@@ -1,0 +1,137 @@
+"""Prototype memory tests (reference analog: tests/test_memory.py)."""
+
+import numpy as np
+import pytest
+
+from adaptive_classifier_tpu import Example, ModelConfig, PrototypeMemory
+
+DIM = 16
+
+
+def cfg(**kw):
+    base = {
+        "class_capacity_buckets": [4, 8],
+        "example_capacity_buckets": [8, 16, 32],
+        "max_examples_per_class": 10,
+        "example_capacity_slack": 8,
+    }
+    base.update(kw)
+    return ModelConfig(base)
+
+
+def vec(seed, dim=DIM):
+    r = np.random.default_rng(seed)
+    v = r.standard_normal(dim).astype(np.float32)
+    return v / np.linalg.norm(v)
+
+
+def test_add_and_prototype_is_mean():
+    mem = PrototypeMemory(DIM, cfg())
+    vs = [vec(i) for i in range(3)]
+    for i, v in enumerate(vs):
+        mem.add_example(Example(f"t{i}", "a", v), "a")
+    proto = mem.prototypes["a"]
+    np.testing.assert_allclose(proto, np.mean(vs, axis=0), atol=1e-6)
+
+
+def test_knn_scores_softmax_normalized():
+    mem = PrototypeMemory(DIM, cfg())
+    for label, seed in [("a", 1), ("b", 2), ("c", 3)]:
+        mem.add_example(Example(f"x{seed}", label, vec(seed)), label)
+    res = mem.get_nearest_prototypes(vec(1), k=3)
+    assert len(res) == 3
+    scores = [s for _, s in res]
+    assert abs(sum(scores) - 1.0) < 1e-5
+    assert res[0][0] == "a"  # exact match is nearest
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_k_clamped_to_num_classes():
+    mem = PrototypeMemory(DIM, cfg())
+    mem.add_example(Example("x", "only", vec(0)), "only")
+    res = mem.get_nearest_prototypes(vec(5), k=10)
+    assert len(res) == 1
+    assert abs(res[0][1] - 1.0) < 1e-6
+
+
+def test_empty_memory_returns_empty():
+    mem = PrototypeMemory(DIM, cfg())
+    assert mem.get_nearest_prototypes(vec(0), k=5) == []
+
+
+def test_wrong_dim_raises():
+    mem = PrototypeMemory(DIM, cfg())
+    with pytest.raises(ValueError):
+        mem.add_example(Example("x", "a", np.ones(DIM + 1, np.float32)), "a")
+    with pytest.raises(ValueError):
+        mem.add_example(Example("x", "a", None), "a")
+
+
+def test_pruning_to_max_keeps_closest_to_mean():
+    mem = PrototypeMemory(DIM, cfg(max_examples_per_class=5))
+    base = vec(42)
+    # 5 tight cluster members + outliers
+    for i in range(5):
+        v = base + 0.01 * vec(100 + i)
+        mem.add_example(Example(f"near{i}", "a", (v / np.linalg.norm(v)).astype(np.float32)), "a")
+    for i in range(4):
+        mem.add_example(Example(f"far{i}", "a", vec(200 + i)), "a")
+    assert len(mem.texts["a"]) == 5
+    # the tight cluster should dominate the kept set
+    kept_near = sum(1 for t in mem.texts["a"] if t.startswith("near"))
+    assert kept_near >= 4
+
+
+def test_clear():
+    mem = PrototypeMemory(DIM, cfg())
+    mem.add_example(Example("x", "a", vec(0)), "a")
+    mem.clear()
+    assert mem.get_stats()["num_classes"] == 0
+    assert mem.get_stats()["total_examples"] == 0
+    assert mem.get_nearest_prototypes(vec(0)) == []
+
+
+def test_stats():
+    mem = PrototypeMemory(DIM, cfg())
+    for i in range(3):
+        mem.add_example(Example(f"x{i}", "a", vec(i)), "a")
+    mem.add_example(Example("y", "b", vec(9)), "b")
+    stats = mem.get_stats()
+    assert stats["num_classes"] == 2
+    assert stats["examples_per_class"] == {"a": 3, "b": 1}
+    assert stats["total_examples"] == 4
+    assert stats["prototype_dimensions"] == DIM
+
+
+def test_capacity_growth_preserves_data():
+    mem = PrototypeMemory(DIM, cfg())
+    mem.add_example(Example("x", "a", vec(0)), "a")
+    proto_before = mem.prototypes["a"].copy()
+    # force class-capacity growth past the first bucket (4)
+    for i, label in enumerate(["b", "c", "d", "e", "f"]):
+        mem.add_example(Example(f"t{i}", label, vec(10 + i)), label)
+    assert mem.state.class_capacity >= 6
+    np.testing.assert_allclose(mem.prototypes["a"], proto_before, atol=1e-6)
+
+
+def test_batched_add_matches_sequential():
+    m1 = PrototypeMemory(DIM, cfg())
+    m2 = PrototypeMemory(DIM, cfg())
+    vs = np.stack([vec(i) for i in range(6)])
+    labels = ["a", "b", "a", "b", "a", "b"]
+    for i in range(6):
+        m1.add_example(Example(f"t{i}", labels[i], vs[i]), labels[i])
+    m2.add_batch_host([f"t{i}" for i in range(6)], vs, labels)
+    np.testing.assert_allclose(m1.prototypes["a"], m2.prototypes["a"], atol=1e-6)
+    np.testing.assert_allclose(m1.prototypes["b"], m2.prototypes["b"], atol=1e-6)
+
+
+def test_memory_growth_bounded_at_1000_examples():
+    """Analog of the reference's 1000-example growth-bound test
+    (test_memory.py:187-212): device buffer stays at its padded capacity."""
+    mem = PrototypeMemory(DIM, cfg(max_examples_per_class=20, example_capacity_buckets=[8, 32]))
+    r = np.random.default_rng(0)
+    embs = r.standard_normal((200, DIM)).astype(np.float32)
+    mem.add_batch_host([f"t{i}" for i in range(200)], embs, ["a"] * 200)
+    assert len(mem.texts["a"]) == 20
+    assert mem.state.example_capacity <= 28  # max + slack
