@@ -107,7 +107,7 @@ class StrategicCostFunction:
 
     def compute_best_response(self, x, f, key=None):
         """Single-sample wrapper (reference API)."""
-        x = jnp.asarray(np.asarray(x, np.float32))
+        x = jnp.asarray(x, jnp.float32)
         return self.compute_best_response_batch(x[None, :], f, key)[0]
 
 
@@ -122,8 +122,8 @@ class SeparableCostFunction(StrategicCostFunction):
         self.feature_names = feature_names
 
     def compute_cost(self, x, y):
-        x = jnp.asarray(np.asarray(x, np.float32))
-        y = jnp.asarray(np.asarray(y, np.float32))
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
         c1 = _fit_dim(self.c1, x.shape[-1])
         c2 = _fit_dim(self.c2, y.shape[-1])
         return jnp.maximum(jnp.dot(c2, y) - jnp.dot(c1, x), 0.0)
@@ -147,8 +147,8 @@ class LinearCostFunction(SeparableCostFunction):
         self.alpha = vec
 
     def compute_cost(self, x, y):
-        x = jnp.asarray(np.asarray(x, np.float32))
-        y = jnp.asarray(np.asarray(y, np.float32))
+        x = jnp.asarray(x, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
         a = _fit_dim(self.alpha, x.shape[-1])
         return jnp.maximum(jnp.dot(a, y - x), 0.0)
 
@@ -158,6 +158,12 @@ class CostFunctionFactory:
 
     @staticmethod
     def create_cost_function(cost_type: str, cost_coefficients, feature_names=None, **kwargs):
+        # dict coefficients without explicit feature names use the dict's own
+        # keys — the reference's README-style config
+        # ({'sentiment_words': 0.5, ...}) would otherwise raise inside the
+        # classifier's init and silently disable strategic mode
+        if isinstance(cost_coefficients, dict) and feature_names is None:
+            feature_names = list(cost_coefficients.keys())
         if cost_type == "linear":
             return LinearCostFunction(cost_coefficients, feature_names)
         if cost_type == "separable":

@@ -1,0 +1,114 @@
+"""Encoder & tokenizer tests.  HF-parity runs only when a local checkpoint
+exists (the analog of the reference's ONNX-vs-PyTorch cosine tests,
+test_onnx_phase1.py:68-96, with skipif gating like its optimum checks)."""
+
+import numpy as np
+import pytest
+
+from adaptive_classifier_tpu.models.encoder import (
+    Encoder, _find_local_checkpoint, config_for_model_name,
+)
+from adaptive_classifier_tpu.models.tokenizer import WordPieceTokenizer
+
+
+class TestTokenizer:
+    def test_hermetic_deterministic(self):
+        t1 = WordPieceTokenizer.hermetic(4096)
+        t2 = WordPieceTokenizer.hermetic(4096)
+        assert t1.vocab == t2.vocab
+        assert t1.tokenize("Hello, World!") == t2.tokenize("Hello, World!")
+
+    def test_specials(self):
+        t = WordPieceTokenizer.hermetic()
+        ids = t.encode("hello")
+        assert ids[0] == t.cls_id and ids[-1] == t.sep_id
+
+    def test_ascii_no_unk(self):
+        t = WordPieceTokenizer.hermetic()
+        toks = t.tokenize("supercalifragilistic x9z!")
+        assert t.unk_token not in toks
+
+    def test_wordpiece_continuation(self):
+        t = WordPieceTokenizer.hermetic()
+        toks = t.tokenize("wording")
+        assert toks[0] in t.vocab
+        if len(toks) > 1:
+            assert all(x.startswith("##") for x in toks[1:])
+
+    def test_batch_padding(self):
+        t = WordPieceTokenizer.hermetic()
+        ids, mask = t(["short", "a much longer text with many words"], max_length=64)
+        assert ids.shape == mask.shape
+        assert ids.shape[0] == 2
+        assert (mask.sum(axis=1) > 0).all()
+        assert ids[0][mask[0] == 0].sum() == t.pad_id * (mask[0] == 0).sum()
+
+    def test_truncation(self):
+        t = WordPieceTokenizer.hermetic()
+        ids = t.encode("word " * 1000, max_length=16)
+        assert len(ids) <= 16
+
+    def test_punctuation_split(self):
+        t = WordPieceTokenizer.hermetic()
+        assert "," in t.tokenize("hello,world")
+
+
+class TestEncoder:
+    def test_offline_deterministic(self):
+        e1 = Encoder("prajjwal1/bert-tiny")
+        e2 = Encoder("prajjwal1/bert-tiny")
+        a = np.asarray(e1.embed(["hello world"]))
+        b = np.asarray(e2.embed(["hello world"]))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_embeddings_normalized(self):
+        e = Encoder("prajjwal1/bert-tiny")
+        emb = np.asarray(e.embed(["one text", "another text entirely"]))
+        np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)
+
+    def test_text_dependence(self):
+        e = Encoder("prajjwal1/bert-tiny")
+        emb = np.asarray(e.embed(["completely different words", "zebra quantum banana"]))
+        assert not np.allclose(emb[0], emb[1])
+
+    def test_known_arch_dims(self):
+        cfg = config_for_model_name("bert-base-uncased")
+        assert (cfg.hidden_size, cfg.num_layers) == (768, 12)
+        cfg = config_for_model_name("prajjwal1/bert-tiny")
+        assert (cfg.hidden_size, cfg.num_layers) == (128, 2)
+        cfg = config_for_model_name("some/unknown-model")
+        assert cfg.hidden_size == 768
+
+    def test_padding_invariance(self):
+        """Embedding must not depend on batch padding companions."""
+        e = Encoder("prajjwal1/bert-tiny")
+        solo = np.asarray(e.embed(["the target text"]))
+        padded = np.asarray(e.embed(["the target text", "x " * 50]))
+        np.testing.assert_allclose(solo[0], padded[0], atol=2e-2)
+
+
+@pytest.mark.skipif(
+    _find_local_checkpoint("prajjwal1/bert-tiny") is None,
+    reason="no local HF checkpoint available (offline CI)",
+)
+class TestHFParity:
+    def test_embedding_cosine_parity(self):
+        """Cosine similarity vs the torch forward > 0.99 (the reference's
+        ONNX-parity threshold)."""
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        name = "prajjwal1/bert-tiny"
+        enc = Encoder(name, compute_dtype="float32")
+        texts = ["the quick brown fox", "classification is fun"]
+        ours = np.asarray(enc.embed(texts))
+
+        tok = AutoTokenizer.from_pretrained(name)
+        model = AutoModel.from_pretrained(name)
+        model.eval()
+        with torch.no_grad():
+            inputs = tok(texts, return_tensors="pt", padding=True)
+            out = model(**inputs).last_hidden_state[:, 0, :]
+            theirs = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
+        cos = (ours * theirs).sum(axis=1)
+        assert (cos > 0.99).all(), cos

@@ -1,0 +1,195 @@
+"""Strategic classification tests (reference analog: strategic.py semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_classifier_tpu.strategic import (
+    CostFunctionFactory, LinearCostFunction, SeparableCostFunction,
+    StrategicEvaluator, StrategicOptimizer,
+)
+from tests.conftest import synthetic_embed
+
+D = 8
+
+
+def test_separable_cost():
+    c = SeparableCostFunction(np.ones(D, np.float32) * 0.5, np.ones(D, np.float32) * 0.5)
+    x = np.zeros(D, np.float32)
+    y = np.ones(D, np.float32)
+    # c2·y − c1·x = 4 − 0
+    assert float(c.compute_cost(x, y)) == pytest.approx(4.0)
+    # moving "down" costs nothing (max with 0)
+    assert float(c.compute_cost(y, x)) == 0.0
+
+
+def test_linear_cost():
+    c = LinearCostFunction(np.ones(D, np.float32))
+    x = np.zeros(D, np.float32)
+    y = np.full(D, 0.25, np.float32)
+    assert float(c.compute_cost(x, y)) == pytest.approx(2.0)
+    assert float(c.compute_cost(y, x)) == 0.0
+
+
+def test_dict_coefficients_require_feature_names():
+    with pytest.raises(ValueError):
+        SeparableCostFunction({"f0": 1.0}, {"f0": 1.0})
+    c = SeparableCostFunction({"f0": 1.0}, {"f0": 2.0}, feature_names=["f0", "f1"])
+    assert np.asarray(c.c1).tolist() == [1.0, 0.0]
+    assert np.asarray(c.c2).tolist() == [2.0, 0.0]
+
+
+def test_factory():
+    c = CostFunctionFactory.create_cost_function("linear", np.ones(D, np.float32))
+    assert isinstance(c, LinearCostFunction)
+    c = CostFunctionFactory.create_cost_function("separable", np.ones(D, np.float32))
+    assert isinstance(c, SeparableCostFunction)
+    with pytest.raises(ValueError):
+        CostFunctionFactory.create_cost_function("bogus", np.ones(D, np.float32))
+
+
+def test_candidate_sweep_semantics():
+    """Candidates: x itself + per-feature ±2 sweeps truncated to 50
+    (reference strategic.py:104-123)."""
+    c = SeparableCostFunction(np.ones(D, np.float32), np.ones(D, np.float32))
+    x = jnp.zeros((1, D))
+    cands = np.asarray(c._generate_candidates(x))[0]
+    assert cands.shape == (50, D)
+    np.testing.assert_array_equal(cands[0], np.zeros(D))
+    # candidate 1 perturbs feature 0 by -2.0
+    assert cands[1][0] == pytest.approx(-2.0)
+    assert (cands[1][1:] == 0).all()
+    # candidate 11 perturbs feature 1
+    assert cands[11][1] == pytest.approx(-2.0)
+
+
+def test_best_response_improves_utility():
+    cost = SeparableCostFunction(np.full(D, 0.05, np.float32), np.full(D, 0.05, np.float32))
+
+    def f(z):  # prefers large feature 0
+        p1 = jax.nn.sigmoid(z[:, 0])
+        return jnp.stack([1 - p1, p1], axis=-1)
+
+    x = jnp.zeros((3, D))
+    br = cost.compute_best_response_batch(x, f)
+    assert br.shape == (3, D)
+    u_orig = np.asarray(jnp.max(f(x), -1))
+    u_new = np.asarray(jnp.max(f(br), -1)) - np.asarray(
+        jax.vmap(lambda a, b: cost.compute_cost(a, b))(x, br)
+    )
+    assert (u_new >= u_orig - 1e-6).all()
+    # utility is max-prob − cost: moving feature 0 (either direction) raises
+    # the max class probability above the 0.5 tie at x=0, so the agent moves
+    assert (np.abs(np.asarray(br)[:, 0]) > 0).all()
+
+
+def test_best_response_single_sample_api():
+    cost = LinearCostFunction(np.full(D, 0.1, np.float32))
+
+    def f(z):
+        return jnp.ones((z.shape[0], 2)) * 0.5
+
+    x = np.zeros(D, np.float32)
+    br = cost.compute_best_response(x, f)
+    assert np.asarray(br).shape == (D,)
+    # uniform classifier → no gain from moving → stays at x (zero cost beats any positive cost)
+    np.testing.assert_allclose(np.asarray(br), x, atol=1e-6)
+
+
+def test_strategic_loss_components():
+    cost = SeparableCostFunction(np.full(D, 0.01, np.float32), np.full(D, 0.01, np.float32))
+    opt = StrategicOptimizer(cost)
+    w = jnp.asarray(np.random.default_rng(0).standard_normal((D, 2)), jnp.float32)
+
+    def forward(z):
+        return z @ w
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((6, D)), jnp.float32)
+    y = jnp.asarray(np.array([0, 1, 0, 1, 0, 1]))
+    regular, penalty = opt.strategic_loss_terms(forward, x, y, key=jax.random.PRNGKey(0))
+    total = opt.strategic_loss(forward, x, y, strategic_lambda=0.5, key=jax.random.PRNGKey(0))
+    assert float(penalty) >= 0
+    assert float(total) == pytest.approx(float(regular) + 0.5 * float(penalty), rel=1e-5)
+
+
+def test_evaluator_keys_and_monotonicity():
+    cost = SeparableCostFunction(np.full(D, 0.01, np.float32), np.full(D, 0.01, np.float32))
+    ev = StrategicEvaluator(cost)
+    r = np.random.default_rng(0)
+    x = jnp.asarray(r.standard_normal((40, D)), jnp.float32)
+    w = jnp.asarray(r.standard_normal((D, 2)), jnp.float32)
+    y = jnp.asarray((np.asarray(x) @ np.asarray(w)).argmax(-1))
+
+    def forward(z):
+        return z @ w
+
+    res = ev.evaluate_robustness(forward, x, y, gaming_levels=[0.0, 1.0])
+    assert set(res) >= {"accuracy_gaming_0.0", "accuracy_gaming_1.0",
+                        "robustness_score", "relative_robustness"}
+    assert res["accuracy_gaming_0.0"] == pytest.approx(1.0)
+    assert res["robustness_score"] == pytest.approx(
+        res["accuracy_gaming_0.0"] - res["accuracy_gaming_1.0"])
+
+
+@pytest.fixture(scope="module")
+def strategic_clf():
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    cfg = {
+        "train_size_buckets": [64, 256],
+        "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32, 128],
+        "enable_strategic_mode": True,
+        "cost_function_type": "linear",
+        "cost_coefficients": {"feature_cost": 0.5},
+        "strategic_training_frequency": 1000,  # keep unit runs fast
+    }
+    clf = AdaptiveClassifier("prajjwal1/bert-tiny", config=cfg)
+    clf._get_embeddings = lambda texts: synthetic_embed(texts, dim=clf.embedding_dim)
+    clf.add_examples(
+        [f"ok:{i}" for i in range(6)] + [f"spam:{i}" for i in range(6)],
+        ["ok"] * 6 + ["spam"] * 6,
+    )
+    return clf
+
+
+def test_classifier_strategic_mode_enabled(strategic_clf):
+    assert strategic_clf.strategic_mode
+    assert strategic_clf.strategic_optimizer is not None
+
+
+def test_predict_dual_blend(strategic_clf):
+    preds = strategic_clf.predict("ok:99", k=2)
+    assert len(preds) == 2
+    assert abs(sum(s for _, s in preds) - 1.0) < 1e-4
+
+
+def test_predict_strategic_and_robust(strategic_clf):
+    ps = strategic_clf.predict_strategic("ok:99", k=2)
+    pr = strategic_clf.predict_robust("ok:99", k=2)
+    assert len(ps) == 2 and len(pr) == 2
+    assert abs(sum(s for _, s in ps) - 1.0) < 1e-4
+    assert abs(sum(s for _, s in pr) - 1.0) < 1e-4
+
+
+def test_evaluate_strategic_robustness_api(strategic_clf):
+    res = strategic_clf.evaluate_strategic_robustness(
+        ["ok:1", "spam:1", "ok:2", "spam:2"], ["ok", "spam", "ok", "spam"],
+        gaming_levels=[0.0, 1.0],
+    )
+    assert "robustness_score" in res
+
+
+def test_strategic_training_step_runs(strategic_clf):
+    before = jax.tree.leaves(strategic_clf.head_params)[0]
+    strategic_clf._perform_strategic_training()
+    after = jax.tree.leaves(strategic_clf.head_params)[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_non_strategic_classifier_raises_on_eval(synth_classifier_factory):
+    clf = synth_classifier_factory()
+    clf.add_examples(["a:1", "b:1"], ["a", "b"])
+    with pytest.raises(ValueError):
+        clf.evaluate_strategic_robustness(["a:1"], ["a"])
