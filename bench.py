@@ -1,0 +1,84 @@
+"""End-to-end throughput benchmark — the north-star metric (BASELINE.md).
+
+Measures predictions/sec/chip through the full device pipeline
+(embed → kNN → head → fusion) on a bert-base-size encoder, the same model
+class as the reference's headline ONNX number (bert-base-uncased, 2.1 ms/query
+on CPU = ~476 predictions/sec, reference README.md:256-261).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_QPS = 1000.0 / 2.1  # reference ONNX CPU path: 2.1 ms/query
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from adaptive_classifier_tpu.models.encoder import (
+        EncoderConfig, embed_texts_device, init_params,
+    )
+    from adaptive_classifier_tpu.models import head as head_lib
+    from adaptive_classifier_tpu.ops import knn, fusion
+
+    # flagship: bert-base dims (the reference's benchmark model)
+    cfg = EncoderConfig(vocab_size=30522)
+    enc_params = init_params(0, cfg)
+
+    # Banking77-scale class setup: 77 active classes in a 128-slot buffer
+    C_cap, n_active, k = 128, 77, 5
+    head_params = head_lib.init_head(
+        jax.random.PRNGKey(42), cfg.hidden_size, C_cap, n_active,
+        hidden_dims=[cfg.hidden_size, cfg.hidden_size // 2],
+    )
+    r = np.random.default_rng(0)
+    protos = jnp.asarray(r.standard_normal((C_cap, cfg.hidden_size)), jnp.float32)
+    protos = protos / jnp.linalg.norm(protos, axis=1, keepdims=True)
+    valid = jnp.arange(C_cap) < n_active
+    active = jnp.arange(C_cap) < n_active
+    pw = jnp.full((C_cap,), 0.7)
+    hw = jnp.full((C_cap,), 0.3)
+
+    B, S = 256, 64  # short-query regime, batched
+
+    @jax.jit
+    def pipeline(enc_params, head_params, protos, input_ids, attention_mask):
+        emb = embed_texts_device(enc_params, input_ids, attention_mask, cfg,
+                                 jnp.bfloat16)
+        sims = knn.masked_sims(emb, protos, valid)
+        logits = head_lib.head_forward(head_params, emb, train=False)
+        return fusion.fuse_full(sims, logits, valid, active, pw, hw, k, True)
+
+    input_ids = jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32)
+    attention_mask = jnp.ones((B, S), jnp.int32)
+
+    # warmup / compile
+    for _ in range(3):
+        scores, ids = pipeline(enc_params, head_params, protos, input_ids, attention_mask)
+        scores.block_until_ready()
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        scores, ids = pipeline(enc_params, head_params, protos, input_ids, attention_mask)
+    scores.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    qps = B * iters / dt
+    print(json.dumps({
+        "metric": "end_to_end_predictions_per_sec_per_chip",
+        "value": round(qps, 1),
+        "unit": "predictions/sec (embed+kNN+head, bert-base dims, S=64, B=256)",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Sharding tests on the virtual 8-device CPU mesh: sharded results must
+match single-device results exactly (collectives only change placement)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_classifier_tpu import training
+from adaptive_classifier_tpu.memory import init_state, recompute_prototypes
+from adaptive_classifier_tpu.models import head as head_lib
+from adaptive_classifier_tpu.models.encoder import EncoderConfig, init_params
+from adaptive_classifier_tpu.ops import knn
+from adaptive_classifier_tpu.parallel.mesh import make_mesh, memory_shardings
+from adaptive_classifier_tpu.parallel.sharded import (
+    ShardedTrainState, make_sharded_predict, make_sharded_train_step, shard_state,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = EncoderConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                        num_heads=2, intermediate_size=128,
+                        max_position_embeddings=64)
+    enc_params = init_params(0, cfg)
+    C_cap, E_cap, n_classes = 16, 16, 4
+    memory = init_state(C_cap, E_cap, cfg.hidden_size)
+    head_params = head_lib.init_head(
+        jax.random.PRNGKey(42), cfg.hidden_size, C_cap, n_classes,
+        hidden_dims=[cfg.hidden_size, cfg.hidden_size // 2],
+    )
+    r = np.random.default_rng(0)
+    B, S = 8, 16
+    input_ids = jnp.asarray(r.integers(0, 500, (B, S)), jnp.int32)
+    attention_mask = jnp.ones((B, S), jnp.int32)
+    labels = jnp.asarray(np.arange(B) % n_classes, jnp.int32)
+    active = jnp.arange(C_cap) < n_classes
+    return cfg, enc_params, memory, head_params, input_ids, attention_mask, labels, active
+
+
+def test_mesh_shapes(mesh):
+    assert mesh.axis_names == ("dp", "tp")
+    assert int(np.prod(mesh.devices.shape)) == 8
+
+
+def test_sharded_knn_matches_single_device(mesh):
+    r = np.random.default_rng(1)
+    q = jnp.asarray(r.standard_normal((8, 32)), jnp.float32)
+    p = jnp.asarray(r.standard_normal((16, 32)), jnp.float32)
+    valid = jnp.asarray(np.arange(16) < 10)
+    expect = np.asarray(knn.masked_sims_ref(q, p, valid))
+    specs = memory_shardings(mesh)
+    p_sh = jax.device_put(p, specs["proto"])
+    valid_sh = jax.device_put(valid, specs["count"])
+    got = np.asarray(jax.jit(knn.masked_sims_ref)(q, p_sh, valid_sh))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_train_step_matches_unsharded(mesh, setup):
+    cfg, enc_params, memory, head_params, ids, mask, labels, active = setup
+
+    # sharded run
+    mem_sh, head_sh = shard_state(mesh, memory, head_params)
+    step = make_sharded_train_step(mesh, cfg, compute_dtype=jnp.float32)
+    state = ShardedTrainState(head_sh, training.adamw_init(head_sh), mem_sh)
+    state_sh, loss_sh = step(enc_params, state, ids, mask, labels, active,
+                             jax.random.PRNGKey(0))
+
+    # single-device run of the same step
+    step1 = make_sharded_train_step(make_mesh(1), cfg, compute_dtype=jnp.float32)
+    state1 = ShardedTrainState(head_params, training.adamw_init(head_params), memory)
+    state_1, loss_1 = step1(enc_params, state1, ids, mask, labels, active,
+                            jax.random.PRNGKey(0))
+
+    assert abs(float(loss_sh) - float(loss_1)) < 1e-5
+    for a, b in zip(jax.tree.leaves(state_sh.head_params),
+                    jax.tree.leaves(state_1.head_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_sh.memory.proto),
+                               np.asarray(state_1.memory.proto), atol=1e-5)
+
+
+def test_sharded_predict_matches_unsharded(mesh, setup):
+    cfg, enc_params, memory, head_params, ids, mask, labels, active = setup
+    C_cap = memory.class_capacity
+    r = np.random.default_rng(2)
+    protos = jnp.asarray(r.standard_normal((C_cap, cfg.hidden_size)), jnp.float32)
+    valid = jnp.asarray(np.arange(C_cap) < 4)
+    pw = jnp.full((C_cap,), 0.7)
+    hw = jnp.full((C_cap,), 0.3)
+
+    pred_sh = make_sharded_predict(mesh, cfg, k=3, compute_dtype=jnp.float32)
+    s_sh, i_sh = pred_sh(enc_params, head_params, ids, mask, protos, valid,
+                         active, (pw, hw))
+    pred_1 = make_sharded_predict(make_mesh(1), cfg, k=3, compute_dtype=jnp.float32)
+    s_1, i_1 = pred_1(enc_params, head_params, ids, mask, protos, valid,
+                      active, (pw, hw))
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_1))
+
+
+def test_dryrun_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
