@@ -77,6 +77,21 @@ class WordPieceTokenizer:
         self.cls_id = vocab[cls_token]
         self.sep_id = vocab[sep_token]
         self.pad_id = vocab[pad_token]
+        # native C++ fast path (exact for ASCII text); lazy-built, optional
+        self._native = None
+        self._native_tried = False
+
+    def _get_native(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from .. import native as native_mod
+
+                if native_mod.native_available():
+                    self._native = native_mod.NativeWordPiece(self.vocab, self.do_lower_case)
+            except Exception:
+                self._native = None
+        return self._native
 
     # ------------------------------------------------------------------
     # constructors
@@ -257,7 +272,12 @@ class WordPieceTokenizer:
         lengths bucketed bounds XLA recompiles while avoiding always paying
         for ``max_length`` tokens.
         """
-        encoded = [self.encode(t, max_length=max_length) for t in texts]
+        native = self._get_native()
+        if native is not None and all(t.isascii() for t in texts):
+            ids_mat, lens = native.encode_batch(list(texts), max_length)
+            encoded = [ids_mat[i, : lens[i]].tolist() for i in range(len(texts))]
+        else:
+            encoded = [self.encode(t, max_length=max_length) for t in texts]
         longest = max(len(e) for e in encoded)
         if pad_to_length is not None:
             longest = max(longest, pad_to_length)

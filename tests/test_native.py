@@ -1,0 +1,105 @@
+"""Native C++ component tests: tokenizer parity vs Python, flat index parity
+vs numpy brute force (the FAISS-analog verification oracle)."""
+
+import numpy as np
+import pytest
+
+from adaptive_classifier_tpu import native
+from adaptive_classifier_tpu.models.tokenizer import WordPieceTokenizer
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native toolchain unavailable"
+)
+
+CORPUS = [
+    "Hello, World!",
+    "the quick brown fox jumps over the lazy dog",
+    "refund my payment please -- URGENT!!!",
+    "x" * 150,  # exceeds max_chars_per_word → [UNK]
+    "punctuation,everywhere.and;more:here",
+    "numbers 123 456 and mixed a1b2c3",
+    "",
+    "   leading and trailing   ",
+]
+
+
+class TestNativeTokenizer:
+    def test_parity_with_python(self):
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+        for text in CORPUS:
+            py = tok.encode(text, max_length=64)
+            cc = nat.encode(text, max_length=64).tolist()
+            assert cc == py, text
+
+    def test_batch_matches_single(self):
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+        mat, lens = nat.encode_batch(CORPUS, 64)
+        for i, text in enumerate(CORPUS):
+            single = nat.encode(text, 64)
+            assert mat[i, : lens[i]].tolist() == single.tolist()
+
+    def test_tokenizer_uses_native_fast_path(self):
+        tok = WordPieceTokenizer.hermetic(4096)
+        ids, mask = tok(["hello world", "foo bar baz"], max_length=32)
+        assert tok._get_native() is not None  # built and used on this machine
+        tok2 = WordPieceTokenizer.hermetic(4096)
+        tok2._native_tried = True  # force the pure-Python path
+        ids2, mask2 = tok2(["hello world", "foo bar baz"], max_length=32)
+        np.testing.assert_array_equal(ids, ids2)
+        np.testing.assert_array_equal(mask, mask2)
+
+
+class TestFlatIndex:
+    def test_search_matches_numpy(self):
+        r = np.random.default_rng(0)
+        d, n, nq, k = 32, 100, 8, 10
+        data = r.standard_normal((n, d)).astype(np.float32)
+        q = r.standard_normal((nq, d)).astype(np.float32)
+        idx = native.FlatIndexL2(d)
+        idx.add(data)
+        assert idx.ntotal == n
+        dist, ids = idx.search(q, k)
+        d2 = ((q[:, None, :] - data[None, :, :]) ** 2).sum(-1)
+        for b in range(nq):
+            expect = np.argsort(d2[b], kind="stable")[:k]
+            np.testing.assert_array_equal(ids[b], expect)
+            np.testing.assert_allclose(dist[b], d2[b][expect], rtol=1e-4, atol=1e-4)
+
+    def test_k_exceeds_ntotal(self):
+        idx = native.FlatIndexL2(8)
+        idx.add(np.ones((2, 8), np.float32))
+        dist, ids = idx.search(np.zeros((1, 8), np.float32), 5)
+        assert (ids[0, 2:] == -1).all()
+
+    def test_remove_and_reset(self):
+        idx = native.FlatIndexL2(4)
+        idx.add(np.eye(4, dtype=np.float32))
+        idx.remove(0)
+        assert idx.ntotal == 3
+        idx.reset()
+        assert idx.ntotal == 0
+
+    def test_matches_device_knn(self):
+        """FAISS-analog vs the device kNN path: identical neighbor sets."""
+        import jax.numpy as jnp
+
+        from adaptive_classifier_tpu.ops import knn
+
+        r = np.random.default_rng(3)
+        d, n, nq, k = 16, 24, 6, 5
+        protos = r.standard_normal((n, d)).astype(np.float32)
+        protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+        q = r.standard_normal((nq, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        idx = native.FlatIndexL2(d)
+        idx.add(protos)
+        _, ids_native = idx.search(q, k)
+
+        sims = knn.masked_sims_ref(jnp.asarray(q), jnp.asarray(protos),
+                                   jnp.ones(n, bool))
+        _, ids_device = knn.topk_scores(sims, jnp.ones(n, bool), k)
+        np.testing.assert_array_equal(np.sort(ids_native, axis=1),
+                                      np.sort(np.asarray(ids_device), axis=1))
