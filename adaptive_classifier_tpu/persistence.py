@@ -37,7 +37,7 @@ from .models import head as head_lib
 logger = logging.getLogger(__name__)
 
 
-def save_classifier(clf, save_directory: Path) -> Dict[str, str]:
+def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -> Dict[str, str]:
     save_directory = Path(save_directory)
     os.makedirs(save_directory, exist_ok=True)
 
@@ -81,12 +81,25 @@ def save_classifier(clf, save_directory: Path) -> Dict[str, str]:
     if not model_card_path.exists():
         model_card_path.write_text(generate_model_card(clf), encoding="utf-8")
 
-    return {
+    saved = {
         "config": "config.json",
         "examples": "examples.json",
         "model": "model.safetensors",
         "model_card": "README.md",
     }
+
+    # int8 encoder export — the onnx/ directory analog (on by default like
+    # the reference's include_onnx, classifier.py:600-615)
+    if include_quantized:
+        try:
+            from .quantization import save_quantized_encoder
+
+            save_quantized_encoder(clf.encoder, save_directory / "quantized")
+            saved["quantized"] = "quantized/"
+        except Exception as e:
+            logger.warning(f"Skipping quantized export due to error: {e}")
+
+    return saved
 
 
 def load_classifier(cls, model_path: Path, device: Optional[str] = None):
@@ -99,6 +112,26 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         device=device,
         config=config_dict.get("config", None),
     )
+
+    # If the encoder's real weights aren't available here (no local HF
+    # checkpoint) but the checkpoint's int8 export captured a *pretrained*
+    # encoder, restore from it — an int8 approximation of the true weights
+    # beats the offline fallback.  Quantized is never preferred when full
+    # weights exist: unlike the reference's ONNX path (2-4× faster on CPU),
+    # int8 brings no TPU speed win; bf16 MXU is already the fast path.
+    qdir = model_path / "quantized"
+    if not getattr(clf.encoder, "pretrained", False) and (qdir / "model_int8.safetensors").exists():
+        try:
+            from .quantization import load_quantized_encoder_params
+            from .models.encoder import EncoderConfig
+
+            params, enc_cfg, qcfg = load_quantized_encoder_params(qdir)
+            if qcfg.get("encoder_pretrained", False):
+                clf.encoder.params = params
+                clf.encoder.config = EncoderConfig(**enc_cfg)
+                logger.info("Restored encoder weights from int8 checkpoint export")
+        except Exception as e:
+            logger.warning(f"Could not restore quantized encoder: {e}")
 
     # restore label maps in id order so memory slots == label ids
     clf.label_to_id = dict(config_dict["label_to_id"])
