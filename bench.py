@@ -20,6 +20,14 @@ BASELINE_QPS = 1000.0 / 2.1  # reference ONNX CPU path: 2.1 ms/query
 
 def main():
     import jax
+
+    # persistent compile cache: tunnel-TPU compiles are slow; cache makes
+    # repeat benchmark runs start in seconds
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from adaptive_classifier_tpu.models.encoder import (

@@ -1,0 +1,97 @@
+"""Train a hallucination detector (RAGTruth-style).
+
+Reference analog: scripts/gen_llm_hallucination_detector.py — trains a
+HALLUCINATED/NOT_HALLUCINATED classifier over (context, question, answer)
+triples.  Input format (jsonl):
+    {"context": str, "question": str, "answer": str, "label": "HALLUCINATED"|"NOT_HALLUCINATED"}
+Without --data a deterministic synthetic set is generated so the pipeline
+runs offline end-to-end.
+
+Usage:
+    python scripts/train_hallucination_detector.py [--data ragtruth.jsonl] \
+        [--out ./hallucination-detector]
+"""
+
+import argparse
+import json
+import random
+
+
+def format_input(context: str, question: str, answer: str) -> str:
+    """Single-sequence encoding of the triple (the detector's input schema)."""
+    return f"Context: {context}\nQuestion: {question}\nAnswer: {answer}"
+
+
+def synthetic_dataset(n=120, seed=7):
+    rng = random.Random(seed)
+    facts = [
+        ("The Eiffel Tower is in Paris and was completed in 1889",
+         "Where is the Eiffel Tower", "It is in Paris"),
+        ("Water boils at 100 degrees celsius at sea level",
+         "At what temperature does water boil", "At 100 degrees celsius"),
+        ("The Nile flows through Egypt into the Mediterranean",
+         "Which sea does the Nile flow into", "The Mediterranean"),
+    ]
+    lies = [
+        ("The Eiffel Tower is in Paris and was completed in 1889",
+         "Where is the Eiffel Tower", "It is in Rome near the Colosseum"),
+        ("Water boils at 100 degrees celsius at sea level",
+         "At what temperature does water boil", "At 50 degrees celsius"),
+        ("The Nile flows through Egypt into the Mediterranean",
+         "Which sea does the Nile flow into", "The Pacific Ocean"),
+    ]
+    data = []
+    for i in range(n):
+        src, label = (facts, "NOT_HALLUCINATED") if rng.random() < 0.5 else (lies, "HALLUCINATED")
+        c, q, a = rng.choice(src)
+        data.append({"context": c, "question": q + f" ({i})", "answer": a, "label": label})
+    return data
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default=None)
+    ap.add_argument("--model", default="bert-base-uncased")
+    ap.add_argument("--out", default="./hallucination-detector")
+    ap.add_argument("--eval-frac", type=float, default=0.3)
+    args = ap.parse_args()
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    data = ([json.loads(l) for l in open(args.data)] if args.data
+            else synthetic_dataset())
+    split = int(len(data) * (1 - args.eval_frac))
+    train, test = data[:split], data[split:]
+
+    clf = AdaptiveClassifier(args.model)
+    clf.add_examples(
+        [format_input(d["context"], d["question"], d["answer"]) for d in train],
+        [d["label"] for d in train],
+    )
+
+    tp = fp = fn = tn = 0
+    preds = clf.predict_batch(
+        [format_input(d["context"], d["question"], d["answer"]) for d in test], k=1
+    )
+    for d, p in zip(test, preds):
+        pred = p[0][0] if p else "NOT_HALLUCINATED"
+        pos = d["label"] == "HALLUCINATED"
+        hit = pred == "HALLUCINATED"
+        tp += pos and hit
+        fp += (not pos) and hit
+        fn += pos and not hit
+        tn += (not pos) and not hit
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    print(json.dumps({
+        "precision": round(precision, 4), "recall": round(recall, 4),
+        "f1": round(f1, 4), "n_eval": len(test),
+    }, indent=2))
+
+    clf.save(args.out)
+    print(f"saved detector to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
