@@ -710,3 +710,20 @@ class AdaptiveClassifier:
         return persistence.push_to_hub(
             self, repo_id, token=token, commit_message=commit_message, private=private, **kwargs
         )
+
+    def export_onnx(self, save_directory, quantize: bool = True,
+                    quantization_config: Optional[str] = None) -> Path:
+        """API-parity analog of the reference's ONNX export
+        (classifier.py:1031-1107).
+
+        There is no ONNX runtime in the TPU stack — the jitted XLA forward is
+        the optimized inference path — so this exports the int8-quantized
+        encoder bundle (the ``model_quantized.onnx`` analog: ~4× smaller,
+        same accuracy envelope).  ``quantization_config`` (arm64/avx512/avx2
+        in the reference) has no TPU meaning and is ignored.
+        """
+        from .quantization import save_quantized_encoder
+
+        return save_quantized_encoder(self.encoder, Path(save_directory))
+
+    export_quantized = export_onnx

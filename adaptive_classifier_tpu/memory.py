@@ -182,8 +182,15 @@ class PrototypeMemory:
     """
 
     def __init__(self, embedding_dim: int, config: Optional[ModelConfig] = None):
+        import threading
+
         self.embedding_dim = embedding_dim
         self.config = config or ModelConfig()
+        # the reference has no locks and survives threaded adds only by
+        # grace of the GIL (tests/test_memory.py:226-256); here mutations are
+        # explicitly serialized so host bookkeeping and device state can
+        # never diverge under concurrent writers
+        self._write_lock = threading.Lock()
         self.label_to_index: Dict[str, int] = {}
         self.index_to_label: Dict[int, str] = {}
         self.texts: Dict[str, List[str]] = {}
@@ -250,6 +257,10 @@ class PrototypeMemory:
         mean, memory.py:196-217) runs whenever a class exceeds the cap, so no
         chunk can overflow the device buffer.
         """
+        with self._write_lock:
+            self._add_batch_locked(texts, embs, labels)
+
+    def _add_batch_locked(self, texts: List[str], embs: np.ndarray, labels: List[str]):
         slots = np.asarray([self._slot(l) for l in labels], dtype=np.int32)
         counts = self._counts_host()
         adds_per_label = {l: labels.count(l) for l in set(labels)}

@@ -19,6 +19,7 @@ architecture's exact shapes, so the full pipeline runs hermetically.
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import os
@@ -133,8 +134,14 @@ def encoder_forward(
     attention_mask: jax.Array,
     cfg: EncoderConfig,
     compute_dtype=jnp.bfloat16,
+    use_flash: bool = False,
 ) -> jax.Array:
-    """Full encoder forward → last_hidden_state ``[B, S, D]`` (float32)."""
+    """Full encoder forward → last_hidden_state ``[B, S, D]`` (float32).
+
+    ``use_flash=True`` routes attention through the Pallas flash-attention
+    kernel (ops/flash_attention.py) — the long-sequence HBM-bandwidth path;
+    the default einsum path lets XLA fuse for short sequences.
+    """
     B, S = input_ids.shape
     emb = params["embeddings"]
     h = emb["word"][input_ids]
@@ -163,12 +170,17 @@ def encoder_forward(
         k = proj(lp["k_w"], lp["k_b"]).reshape(B, S, H, Dh)
         v = proj(lp["v_w"], lp["v_b"]).reshape(B, S, H, Dh)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        logits = logits + amask
-        probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32)
+        if use_flash:
+            from ..ops.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k, v, attention_mask)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            logits = logits + amask
+            probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, S, H * Dh).astype(compute_dtype)
         attn_out = jnp.einsum("bsd,de->bse", ctx, lp["o_w"].astype(compute_dtype),
                               preferred_element_type=jnp.float32) + lp["o_b"].astype(jnp.float32)
@@ -194,13 +206,15 @@ def embed_texts_device(
     attention_mask: jax.Array,
     cfg: EncoderConfig,
     compute_dtype=jnp.bfloat16,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Encoder forward + CLS pool + L2 normalize → ``[B, D]`` float32.
 
     Mirrors the reference's ``_get_embeddings`` epilogue
     (classifier.py:1271-1282) but fused on-device.
     """
-    hidden = encoder_forward(params, input_ids, attention_mask, cfg, compute_dtype)
+    hidden = encoder_forward(params, input_ids, attention_mask, cfg, compute_dtype,
+                             use_flash=use_flash)
     cls = hidden[:, 0, :]
     norm = jnp.linalg.norm(cls, axis=-1, keepdims=True)
     return cls / jnp.maximum(norm, 1e-12)
@@ -370,11 +384,20 @@ class Encoder:
         cfg = self.config
         cd = self.compute_dtype
 
-        @jax.jit
-        def _embed(params, input_ids, attention_mask):
-            return embed_texts_device(params, input_ids, attention_mask, cfg, cd)
+        @functools.partial(jax.jit, static_argnames=("use_flash",))
+        def _embed(params, input_ids, attention_mask, use_flash=False):
+            return embed_texts_device(params, input_ids, attention_mask, cfg, cd,
+                                      use_flash=use_flash)
 
-        self._embed = _embed
+        self._embed_jit = _embed
+        self._embed = lambda p, ids, mask: _embed(
+            p, ids, mask, use_flash=self._use_flash(ids.shape[1])
+        )
+
+    def _use_flash(self, seq_len: int) -> bool:
+        """Flash attention engages on TPU for long sequences, where skipping
+        the HBM round-trip of [B,H,S,S] logits pays for the kernel."""
+        return jax.default_backend() == "tpu" and seq_len >= 256
 
     @property
     def hidden_size(self) -> int:

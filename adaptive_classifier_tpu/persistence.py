@@ -105,7 +105,13 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
 def load_classifier(cls, model_path: Path, device: Optional[str] = None):
     model_path = Path(model_path)
     config_dict = json.loads((model_path / "config.json").read_text(encoding="utf-8"))
-    saved_examples = json.loads((model_path / "examples.json").read_text(encoding="utf-8"))
+    examples_file = model_path / "examples.json"
+    if examples_file.exists():
+        saved_examples = json.loads(examples_file.read_text(encoding="utf-8"))
+    else:
+        # older on-disk layout embedded examples inside config.json
+        # (reference scripts/adaptive_router/config.json, SURVEY.md §5)
+        saved_examples = config_dict.get("examples", {})
 
     clf = cls(
         config_dict["model_name"],

@@ -135,3 +135,36 @@ def test_memory_growth_bounded_at_1000_examples():
     mem.add_batch_host([f"t{i}" for i in range(200)], embs, ["a"] * 200)
     assert len(mem.texts["a"]) == 20
     assert mem.state.example_capacity <= 28  # max + slack
+
+
+def test_concurrent_add_example_threadsafe():
+    """Reference analog (test_memory.py:226-256): 3 threads × 100 adds.
+    The reference passes only by grace of the GIL; this memory serializes
+    writers with an explicit lock, so counts and prototypes stay exact."""
+    import threading
+
+    mem = PrototypeMemory(DIM, cfg(max_examples_per_class=500,
+                                   example_capacity_buckets=[32, 128, 512, 1024]))
+    n_threads, per_thread = 3, 100
+
+    def worker(t):
+        r = np.random.default_rng(t)
+        for i in range(per_thread):
+            v = r.standard_normal(DIM).astype(np.float32)
+            v /= np.linalg.norm(v)
+            mem.add_example(Example(f"t{t}-{i}", f"class{t}", v), f"class{t}")
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    stats = mem.get_stats()
+    assert stats["total_examples"] == n_threads * per_thread
+    for t in range(n_threads):
+        assert stats["examples_per_class"][f"class{t}"] == per_thread
+    # device counts agree with host bookkeeping
+    for t in range(n_threads):
+        slot = mem.label_to_index[f"class{t}"]
+        assert int(mem.state.count[slot]) == per_thread
