@@ -109,3 +109,48 @@ def test_dryrun_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_topk_matches_single_device(mesh):
+    """Explicit shard_map kNN (per-shard top-k + all-gather merge) returns
+    exactly the single-chip scores/neighbors."""
+    from adaptive_classifier_tpu.parallel.sharded_knn import (
+        make_sharded_topk, shard_prototypes,
+    )
+
+    r = np.random.default_rng(5)
+    B, C, D, k = 8, 32, 16, 5
+    q = r.standard_normal((B, D)).astype(np.float32)
+    p = r.standard_normal((C, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    valid = np.arange(C) < 27
+
+    sims = knn.masked_sims_ref(jnp.asarray(q), jnp.asarray(p), jnp.asarray(valid))
+    exp_scores, exp_idx = knn.topk_scores(sims, jnp.asarray(valid), k)
+
+    search = make_sharded_topk(mesh, k)
+    p_sh, v_sh = shard_prototypes(mesh, jnp.asarray(p), jnp.asarray(valid))
+    got_scores, got_idx = search(jnp.asarray(q), p_sh, v_sh)
+
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(exp_idx))
+    np.testing.assert_allclose(np.asarray(got_scores), np.asarray(exp_scores),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_topk_fewer_valid_than_k(mesh):
+    from adaptive_classifier_tpu.parallel.sharded_knn import (
+        make_sharded_topk, shard_prototypes,
+    )
+
+    r = np.random.default_rng(6)
+    B, C, D, k = 4, 16, 8, 6
+    q = r.standard_normal((B, D)).astype(np.float32)
+    p = r.standard_normal((C, D)).astype(np.float32)
+    valid = np.arange(C) < 3  # fewer valid than k
+    search = make_sharded_topk(mesh, k)
+    p_sh, v_sh = shard_prototypes(mesh, jnp.asarray(p), jnp.asarray(valid))
+    scores, idx = search(jnp.asarray(q), p_sh, v_sh)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+    assert (idx[:, 3:] == -1).all()
+    assert np.allclose(scores.sum(axis=1), 1.0, atol=1e-5)
