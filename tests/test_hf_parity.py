@@ -1,0 +1,105 @@
+"""Encoder parity vs HuggingFace torch models — offline.
+
+Instantiates HF architectures with random weights locally (no network),
+saves them, loads the checkpoint through our Encoder, and compares the full
+forward against the torch reference.  This validates the weight mapping and
+every layer of the JAX forward with the rigor of the reference's
+ONNX-vs-PyTorch tests (test_onnx_phase1.py:68-96) while staying hermetic.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _save_tiny_bert(tmp_path):
+    from transformers import BertConfig, BertModel, BertTokenizerFast
+
+    cfg = BertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=2,
+    )
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    # minimal vocab file so the tokenizer path also loads
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    return model
+
+
+def _save_tiny_distilbert(tmp_path):
+    from transformers import DistilBertConfig, DistilBertModel
+
+    cfg = DistilBertConfig(
+        vocab_size=512, dim=64, n_layers=3, n_heads=4, hidden_dim=128,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    model = DistilBertModel(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    return model
+
+
+def _compare(tmp_path, torch_model):
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    enc = Encoder(str(tmp_path), compute_dtype="float32")
+    assert enc.pretrained
+
+    r = np.random.default_rng(0)
+    B, S = 3, 24
+    ids = r.integers(5, 500, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+    mask[1, 16:] = 0
+
+    with torch.no_grad():
+        out = torch_model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state[:, 0, :]
+        ref = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(enc._embed_jit(
+        enc.params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    ))
+    cos = (ours * ref).sum(axis=1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_bert_forward_parity(tmp_path):
+    model = _save_tiny_bert(tmp_path)
+    _compare(tmp_path, model)
+
+
+def test_distilbert_forward_parity(tmp_path):
+    model = _save_tiny_distilbert(tmp_path)
+    _compare(tmp_path, model)
+
+
+def test_classifier_with_local_hf_checkpoint(tmp_path):
+    """Full pipeline over a real (random-weight) HF checkpoint dir."""
+    _save_tiny_bert(tmp_path)
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    clf = AdaptiveClassifier(str(tmp_path), config={
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32],
+    })
+    assert clf.encoder.pretrained
+    clf.add_examples(["tok1 tok2 tok3", "tok9 tok8 tok7"], ["a", "b"])
+    preds = clf.predict("tok1 tok2", k=2)
+    assert len(preds) == 2
