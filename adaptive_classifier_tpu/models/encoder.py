@@ -45,7 +45,12 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
-    arch: str = "bert"  # "bert" | "distilbert"
+    arch: str = "bert"  # "bert" | "distilbert" | "modernbert"
+    # ModernBERT-specific (ignored by classic BERT)
+    global_attn_every_n_layers: int = 3
+    local_attention: int = 128
+    global_rope_theta: float = 160000.0
+    local_rope_theta: float = 10000.0
 
     @property
     def head_dim(self) -> int:
@@ -62,6 +67,16 @@ KNOWN_ARCHS: Dict[str, EncoderConfig] = {
     "bert-large-uncased": EncoderConfig(hidden_size=1024, num_layers=24, num_heads=16, intermediate_size=4096),
     "distilbert-base-uncased": EncoderConfig(num_layers=6, type_vocab_size=0, arch="distilbert"),
     "distilbert-base-cased": EncoderConfig(vocab_size=28996, num_layers=6, type_vocab_size=0, arch="distilbert"),
+    "answerdotai/ModernBERT-base": EncoderConfig(
+        vocab_size=50368, hidden_size=768, num_layers=22, num_heads=12,
+        intermediate_size=1152, max_position_embeddings=8192,
+        type_vocab_size=0, layer_norm_eps=1e-5, arch="modernbert",
+    ),
+    "answerdotai/ModernBERT-large": EncoderConfig(
+        vocab_size=50368, hidden_size=1024, num_layers=28, num_heads=16,
+        intermediate_size=2624, max_position_embeddings=8192,
+        type_vocab_size=0, layer_norm_eps=1e-5, arch="modernbert",
+    ),
 }
 
 
@@ -69,6 +84,9 @@ def config_for_model_name(name: str) -> EncoderConfig:
     if name in KNOWN_ARCHS:
         return KNOWN_ARCHS[name]
     lowered = name.lower()
+    if "modernbert" in lowered:
+        key = "answerdotai/ModernBERT-large" if "large" in lowered else "answerdotai/ModernBERT-base"
+        return KNOWN_ARCHS[key]
     if "tiny" in lowered:
         return KNOWN_ARCHS["prajjwal1/bert-tiny"]
     if "large" in lowered:
@@ -88,6 +106,10 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
     Generated with a seeded numpy RNG on host (one device_put, no per-tensor
     jit dispatches) — deterministic across processes and platforms.
     """
+    if cfg.arch == "modernbert":
+        from .modernbert import init_modernbert_params
+
+        return init_modernbert_params(seed, cfg, dtype)
     D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     rng = np.random.default_rng(seed)
 
@@ -142,6 +164,10 @@ def encoder_forward(
     kernel (ops/flash_attention.py) — the long-sequence HBM-bandwidth path;
     the default einsum path lets XLA fuse for short sequences.
     """
+    if cfg.arch == "modernbert":
+        from .modernbert import modernbert_forward
+
+        return modernbert_forward(params, input_ids, attention_mask, cfg, compute_dtype)
     B, S = input_ids.shape
     emb = params["embeddings"]
     h = emb["word"][input_ids]
@@ -240,7 +266,21 @@ def _find_local_checkpoint(model_name: str) -> Optional[Path]:
 
 def _read_hf_config(path: Path) -> EncoderConfig:
     cfg = json.loads((path / "config.json").read_text())
-    arch = "distilbert" if "distilbert" in (cfg.get("model_type") or "") else "bert"
+    model_type = cfg.get("model_type") or ""
+    if "modernbert" in model_type:
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            type_vocab_size=0, layer_norm_eps=cfg.get("norm_eps", 1e-5),
+            pad_token_id=cfg.get("pad_token_id", 0), arch="modernbert",
+            global_attn_every_n_layers=cfg.get("global_attn_every_n_layers", 3),
+            local_attention=cfg.get("local_attention", 128),
+            global_rope_theta=cfg.get("global_rope_theta", 160000.0),
+            local_rope_theta=cfg.get("local_rope_theta", 10000.0),
+        )
+    arch = "distilbert" if "distilbert" in model_type else "bert"
     if arch == "distilbert":
         return EncoderConfig(
             vocab_size=cfg["vocab_size"], hidden_size=cfg["dim"],
@@ -276,6 +316,10 @@ def _load_state_dict(path: Path) -> Dict[str, np.ndarray]:
 
 def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, Any]:
     """Map HF BERT/DistilBERT tensor names into the stacked-layer pytree."""
+    if cfg.arch == "modernbert":
+        from .modernbert import map_modernbert_weights
+
+        return map_modernbert_weights(sd, cfg)
     # strip the model prefix if present
     prefixes = ("bert.", "distilbert.", "")
     def get(name: str) -> np.ndarray:

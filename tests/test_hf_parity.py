@@ -103,3 +103,55 @@ def test_classifier_with_local_hf_checkpoint(tmp_path):
     clf.add_examples(["tok1 tok2 tok3", "tok9 tok8 tok7"], ["a", "b"])
     preds = clf.predict("tok1 tok2", k=2)
     assert len(preds) == 2
+
+
+def _save_tiny_modernbert(tmp_path):
+    from transformers import ModernBertConfig, ModernBertModel
+
+    cfg = ModernBertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=4,
+        num_attention_heads=4, intermediate_size=96,
+        global_attn_every_n_layers=3, local_attention=8,
+        max_position_embeddings=128,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        cls_token_id=3, sep_token_id=4,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = ModernBertModel(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+    return model
+
+
+def test_modernbert_forward_parity(tmp_path):
+    """RoPE + local/global attention + GeGLU vs the torch implementation."""
+    model = _save_tiny_modernbert(tmp_path)
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    enc = Encoder(str(tmp_path), compute_dtype="float32")
+    assert enc.pretrained and enc.config.arch == "modernbert"
+
+    r = np.random.default_rng(0)
+    B, S = 2, 24
+    ids = r.integers(5, 500, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state[:, 0, :]
+        ref = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(enc._embed_jit(
+        enc.params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    ))
+    cos = (ours * ref).sum(axis=1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
