@@ -93,8 +93,33 @@ class AdaptiveClassifier:
         """Tokenize → encoder forward → CLS pool → L2 normalize, batched.
 
         Reference analog: classifier.py:1249-1282.  Batches are padded to
-        fixed buckets so the jitted encoder compiles a handful of shapes.
+        fixed buckets so the jitted encoder compiles a handful of shapes;
+        repeat texts are served from the host LRU (the encoder is frozen,
+        so cached rows never go stale).
         """
+        cache = getattr(self, "_emb_cache", None)
+        if cache is None and self.config.embedding_cache_size > 0:
+            from .utils.cache import EmbeddingCache
+
+            cache = self._emb_cache = EmbeddingCache(self.config.embedding_cache_size)
+
+        if cache is not None:
+            cached, miss_idx = cache.lookup(texts, self.config.max_length)
+            if not miss_idx:
+                return np.stack(cached) if cached else np.zeros((0, self.embedding_dim), np.float32)
+            miss_texts = [texts[i] for i in miss_idx]
+            fresh = self._embed_uncached(miss_texts)
+            cache.store(miss_texts, self.config.max_length, fresh)
+            out = np.zeros((len(texts), self.embedding_dim), np.float32)
+            for row, i in zip(fresh, miss_idx):
+                out[i] = row
+            for i, row in enumerate(cached):
+                if row is not None:
+                    out[i] = row
+            return out
+        return self._embed_uncached(texts)
+
+    def _embed_uncached(self, texts: List[str]) -> np.ndarray:
         out = []
         chunk = 64
         for s in range(0, len(texts), chunk):

@@ -151,6 +151,9 @@ class ModelConfig:
         self.pallas_knn_min_classes = g("pallas_knn_min_classes", 512)
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
+        #: host-side LRU for text→embedding (0 disables); the encoder is
+        #: frozen so cached rows never go stale
+        self.embedding_cache_size = g("embedding_cache_size", 4096)
 
     def update(self, **kwargs):
         for key, value in kwargs.items():
@@ -174,6 +177,7 @@ class ModelConfig:
             "train_size_buckets": self.train_size_buckets,
             "pallas_knn_min_classes": self.pallas_knn_min_classes,
             "strategic_num_candidates": self.strategic_num_candidates,
+            "embedding_cache_size": self.embedding_cache_size,
         })
         return d
 

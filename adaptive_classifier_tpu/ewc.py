@@ -43,7 +43,6 @@ def compute_fisher(
     vmask_f = valid.astype(jnp.float32)
     n_real = jnp.sum(valid.astype(jnp.int32))
     n_batches = jnp.maximum((n_real + BATCH_SIZE - 1) // BATCH_SIZE, 1)
-    max_batches = max(N // BATCH_SIZE, 1)
 
     rng, prng = jax.random.split(rng)
     u = jax.random.uniform(prng, (N,))
@@ -70,15 +69,14 @@ def compute_fisher(
             return jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)
 
         grads = jax.grad(nll)(params)
-        run = (b < n_batches).astype(jnp.float32)
         fisher = jax.tree.map(
-            lambda f, g: f + run * g * g / n_batches.astype(jnp.float32),
+            lambda f, g: f + g * g / n_batches.astype(jnp.float32),
             fisher, grads,
         )
         return fisher, rng_
 
     fisher0 = jax.tree.map(jnp.zeros_like, params)
-    fisher, _ = jax.lax.fori_loop(0, max_batches, batch_step, (fisher0, rng))
+    fisher, _ = jax.lax.fori_loop(0, n_batches, batch_step, (fisher0, rng))
     return fisher
 
 

@@ -1,5 +1,5 @@
-"""Device ops: fused kNN kernels, fusion, k-means."""
+"""Device ops: fused kNN kernels, flash attention, fusion, k-means."""
 
-from . import fusion, kmeans, knn
+from . import flash_attention, fusion, kmeans, knn
 
-__all__ = ["knn", "fusion", "kmeans"]
+__all__ = ["knn", "fusion", "kmeans", "flash_attention"]

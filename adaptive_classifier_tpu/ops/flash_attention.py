@@ -32,7 +32,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, k_tile: int):
-    # q_ref [1,1,TQ,Dh]; k_ref/v_ref [1,1,S,Dh]; mask_ref [1,S]; o_ref [1,1,TQ,Dh]
+    # q_ref [1,1,TQ,Dh]; k_ref/v_ref [1,1,S,Dh]; mask_ref [1,1,S]; o_ref [1,1,TQ,Dh]
     q = q_ref[0, 0]                       # [TQ, Dh] bf16/f32
     TQ, Dh = q.shape
     S = k_ref.shape[2]
@@ -46,7 +46,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, k_tile:
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                              # [TQ, TK] f32
-        s = s + mask_ref[0, pl.ds(i * k_tile, k_tile)][None, :]
+        s = s + mask_ref[0, 0, pl.ds(i * k_tile, k_tile)][None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         corr = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)                                 # [TQ, TK]
@@ -70,7 +70,7 @@ def flash_attention_padded(
     q: jax.Array,          # [B, H, S, Dh], S multiple of tiles
     k: jax.Array,
     v: jax.Array,
-    mask_bias: jax.Array,  # [B, S] float32 additive (0 valid / -1e9 masked)
+    mask_bias: jax.Array,  # [B, 1, S] float32 additive (0 valid / -1e9 masked)
     q_tile: int = 128,
     k_tile: int = 128,
 ) -> jax.Array:
@@ -90,7 +90,7 @@ def flash_attention_padded(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, S, Dh), lambda b, h, i: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda b, h, i: (b, 0),
+            pl.BlockSpec((1, 1, S), lambda b, h, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, q_tile, Dh), lambda b, h, i: (b, h, i, 0),
@@ -123,7 +123,7 @@ def flash_attention(
     vp = pad(v).transpose(0, 2, 1, 3)
     bias = jnp.where(
         jnp.pad(attention_mask, ((0, 0), (0, Sp - S))) > 0, 0.0, NEG
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)[:, None, :]                 # [B, 1, Sp]
     # the kernel scales by 1/sqrt(padded Dh); pre-scale q so softmax sees
     # logits/sqrt(true Dh)
     if Dhp != Dh:

@@ -146,8 +146,9 @@ def fit_head(
     N = emb.shape[0]
     vmask_f = valid.astype(jnp.float32)
     n_real = jnp.sum(valid.astype(jnp.int32))
+    # traced batch count: fori_loop lowers to while_loop, so padding batches
+    # beyond ⌈N_real/32⌉ cost nothing even when the capacity bucket is large
     n_batches = jnp.maximum((n_real + BATCH_SIZE - 1) // BATCH_SIZE, 1)
-    max_batches = max(N // BATCH_SIZE, 1)
 
     loss_fn = _ce_loss if loss_type == "ce" else _bce_loss
 
@@ -175,15 +176,11 @@ def fit_head(
 
             loss, grads = jax.value_and_grad(total_loss)(params)
             grads = clip_global_norm(grads, 1.0)
-            new_params, new_opt = adamw_update(params, grads, opt, lr * lr_scale)
-            run = b < n_batches  # skip padding-only batches past ⌈N/32⌉
-            params = jax.tree.map(lambda n_, o: jnp.where(run, n_, o), new_params, params)
-            opt = jax.tree.map(lambda n_, o: jnp.where(run, n_, o), new_opt, opt)
-            loss_sum = loss_sum + jnp.where(run, loss, 0.0)
-            return params, opt, loss_sum, rng_
+            params, opt = adamw_update(params, grads, opt, lr * lr_scale)
+            return params, opt, loss_sum + loss, rng_
 
         params, opt, loss_sum, _ = jax.lax.fori_loop(
-            0, max_batches, batch_step, (params, opt, jnp.zeros(()), brng)
+            0, n_batches, batch_step, (params, opt, jnp.zeros(()), brng)
         )
         avg = loss_sum / n_batches.astype(jnp.float32)
 

@@ -67,16 +67,22 @@ def main():
     input_ids = jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32)
     attention_mask = jnp.ones((B, S), jnp.int32)
 
-    # warmup / compile
-    for _ in range(3):
-        scores, ids = pipeline(enc_params, head_params, protos, input_ids, attention_mask)
-        scores.block_until_ready()
+    # distinct inputs per iteration + host transfer of the (tiny) result
+    # each step: a true end-to-end sync (block_until_ready alone can
+    # under-measure through the axon tunnel's async dispatch)
+    batches = [
+        jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(8)
+    ]
+    for i in range(3):  # warmup / compile
+        scores, ids = pipeline(enc_params, head_params, protos, batches[0], attention_mask)
+        np.asarray(scores)
 
     iters = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
-        scores, ids = pipeline(enc_params, head_params, protos, input_ids, attention_mask)
-    scores.block_until_ready()
+    for i in range(iters):
+        scores, ids = pipeline(enc_params, head_params, protos,
+                               batches[i % len(batches)], attention_mask)
+        np.asarray(scores), np.asarray(ids)
     dt = time.perf_counter() - t0
 
     qps = B * iters / dt

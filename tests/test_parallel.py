@@ -154,3 +154,29 @@ def test_sharded_topk_fewer_valid_than_k(mesh):
     scores, idx = np.asarray(scores), np.asarray(idx)
     assert (idx[:, 3:] == -1).all()
     assert np.allclose(scores.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_sharded_checkpoint_roundtrip(mesh, setup, tmp_path):
+    """Orbax save from a sharded mesh, restore onto single device — values
+    identical (checkpoint/resume for the sharded index)."""
+    pytest.importorskip("orbax.checkpoint")
+    from adaptive_classifier_tpu.parallel.checkpoint import (
+        restore_sharded, save_sharded,
+    )
+
+    cfg, enc_params, memory, head_params, *_ = setup
+    mem_sh, head_sh = shard_state(mesh, memory, head_params)
+    state = {"memory": {"emb": mem_sh.emb, "count": mem_sh.count,
+                        "proto": mem_sh.proto},
+             "head": head_sh}
+    path = tmp_path / "ckpt"
+    save_sharded(path, state)
+
+    # restore onto default (single-device) placements
+    template = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state,
+        is_leaf=lambda x: isinstance(x, jax.Array),
+    )
+    restored = restore_sharded(path, template)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
