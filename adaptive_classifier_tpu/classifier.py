@@ -79,6 +79,9 @@ class AdaptiveClassifier:
         self.train_steps = 0
         self.training_history: Dict[str, int] = {}
 
+        #: opt-in stage profiling (utils/profiling.py); None = off
+        self.timers = None
+
         # Strategic components (classifier.py:105-112)
         self.strategic_cost_function: Optional[StrategicCostFunction] = None
         self.strategic_optimizer: Optional[StrategicOptimizer] = None
@@ -120,15 +123,36 @@ class AdaptiveClassifier:
         return self._embed_uncached(texts)
 
     def _embed_uncached(self, texts: List[str]) -> np.ndarray:
+        import contextlib
+
+        stage = self.timers.stage if self.timers is not None else (
+            lambda name, **kw: contextlib.nullcontext()
+        )
         out = []
         chunk = 64
         for s in range(0, len(texts), chunk):
             part = texts[s : s + chunk]
             pad_to = 8 if len(part) <= 8 else chunk
             padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
-            emb = self.encoder.embed(padded, max_length=self.config.max_length)
-            out.append(np.asarray(emb[: len(part)]))
+            with stage("tokenize"):
+                ids, mask = self.encoder.tokenizer(
+                    padded, max_length=self.config.max_length, pad_to_multiple_of=64
+                )
+            with stage("encoder_forward"):
+                emb = self.encoder._embed(
+                    self.encoder.params, jnp.asarray(ids), jnp.asarray(mask)
+                )
+                emb_np = np.asarray(emb[: len(part)])
+            out.append(emb_np)
         return np.concatenate(out, axis=0)
+
+    def enable_profiling(self):
+        """Attach stage timers (tokenize / encoder / knn+fusion); returns
+        the StageTimers for ``summary()``/``report()``."""
+        from .utils.profiling import StageTimers
+
+        self.timers = StageTimers()
+        return self.timers
 
     def _embed_device(self, texts: List[str]) -> jax.Array:
         return jnp.asarray(self._get_embeddings(texts))
@@ -395,19 +419,25 @@ class AdaptiveClassifier:
         n_classes = len(self.label_to_id)
         if n_classes == 0:
             return [[] for _ in texts]
+        import contextlib
+
+        stage = self.timers.stage if self.timers is not None else (
+            lambda name, **kw: contextlib.nullcontext()
+        )
         results: List[List[Tuple[str, float]]] = []
         for s in range(0, len(texts), batch_size):
             part = texts[s : s + batch_size]
             emb = self._embed_device(part)
-            sims = self.memory.sims_for(emb)
-            has_head = self.head_params is not None
-            logits = self._head_logits(emb)
-            kk = min(max(k, 1), self._class_capacity)
-            scores, ids = fusion.fuse_topk(
-                sims, logits, self.memory.state.valid, self._active_mask(),
-                0.7, 0.3, kk, has_head,
-            )
-            scores, ids = np.asarray(scores), np.asarray(ids)
+            with stage("knn_fusion"):
+                sims = self.memory.sims_for(emb)
+                has_head = self.head_params is not None
+                logits = self._head_logits(emb)
+                kk = min(max(k, 1), self._class_capacity)
+                scores, ids = fusion.fuse_topk(
+                    sims, logits, self.memory.state.valid, self._active_mask(),
+                    0.7, 0.3, kk, has_head,
+                )
+                scores, ids = np.asarray(scores), np.asarray(ids)
             results.extend(
                 self._to_label_list(scores[i], ids[i])[:k] for i in range(len(part))
             )

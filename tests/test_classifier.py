@@ -153,3 +153,17 @@ def test_capacity_bucket_crossing(synth_classifier_factory):
 
 def test_to_device_noop(trained):
     assert trained.to("cpu") is trained
+
+
+def test_profiling_stages(synth_classifier_factory):
+    clf = synth_classifier_factory()
+    clf.add_examples(["p:1", "q:1"], ["p", "q"])
+    timers = clf.enable_profiling()
+    clf._emb_cache = None  # bypass cache so encoder stages run
+    clf.config.embedding_cache_size = 0
+    clf._get_embeddings = type(clf)._get_embeddings.__get__(clf)  # restore real path
+    clf.predict_batch(["hello world"], k=1)
+    summary = timers.summary()
+    assert "knn_fusion" in summary
+    assert "tokenize" in summary and "encoder_forward" in summary
+    assert timers.report()
