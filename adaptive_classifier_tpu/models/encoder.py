@@ -403,10 +403,17 @@ class Encoder:
         if ckpt is not None:
             self.config = _read_hf_config(ckpt)
             self.params = _map_hf_weights(_load_state_dict(ckpt), self.config)
-            try:
-                self.tokenizer = WordPieceTokenizer.from_pretrained(str(ckpt))
-            except FileNotFoundError:
-                self.tokenizer = WordPieceTokenizer.hermetic(self.config.vocab_size)
+            self.tokenizer = None
+            if self.config.arch == "modernbert":
+                # BPE tokenizer.json → Rust tokenizers runtime adapter
+                from .hf_tokenizer_adapter import try_load_hf_tokenizer
+
+                self.tokenizer = try_load_hf_tokenizer(str(ckpt))
+            if self.tokenizer is None:
+                try:
+                    self.tokenizer = WordPieceTokenizer.from_pretrained(str(ckpt))
+                except FileNotFoundError:
+                    self.tokenizer = WordPieceTokenizer.hermetic(self.config.vocab_size)
             self.pretrained = True
             logger.info(f"Loaded encoder weights from {ckpt}")
         else:

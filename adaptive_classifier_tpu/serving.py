@@ -108,6 +108,7 @@ class BatchingClassifierServer:
         else:
             first = self._queue.get()
             if first is None:
+                self._queue.task_done()  # balance the sentinel's put()
                 return []
         batch = [first]
         if first.kind != "predict":
@@ -122,6 +123,7 @@ class BatchingClassifierServer:
             except queue.Empty:
                 break
             if nxt is None:
+                self._queue.task_done()  # balance the sentinel's put()
                 break
             if nxt.kind != "predict":
                 self._held = nxt

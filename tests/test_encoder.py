@@ -112,3 +112,46 @@ class TestHFParity:
             theirs = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
         cos = (ours * theirs).sum(axis=1)
         assert (cos > 0.99).all(), cos
+
+
+class TestBPEAdapter:
+    def test_bpe_tokenizer_adapter(self, tmp_path):
+        """Build a tiny byte-level BPE with the Rust runtime, verify the
+        adapter loads it and produces padded batches."""
+        tokenizers = pytest.importorskip("tokenizers")
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+        tok = Tokenizer(models.BPE(unk_token="[UNK]"))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        trainer = trainers.BpeTrainer(
+            vocab_size=300, special_tokens=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        )
+        tok.train_from_iterator(
+            ["hello world", "the quick brown fox", "tokenizer test data"] * 20,
+            trainer,
+        )
+        tok.save(str(tmp_path / "tokenizer.json"))
+
+        from adaptive_classifier_tpu.models.hf_tokenizer_adapter import (
+            try_load_hf_tokenizer,
+        )
+
+        adapter = try_load_hf_tokenizer(str(tmp_path))
+        assert adapter is not None
+        ids, mask = adapter(["hello world", "fox"], max_length=32)
+        assert ids.shape == mask.shape and ids.dtype == np.int32
+        assert ids[0, 0] == adapter.cls_id
+        assert (mask.sum(axis=1) > 2).all()
+
+    def test_wordpiece_json_not_hijacked(self, tmp_path):
+        """WordPiece tokenizer.json files stay on the first-party path."""
+        import json
+
+        (tmp_path / "tokenizer.json").write_text(json.dumps({
+            "model": {"type": "WordPiece", "vocab": {"[PAD]": 0}},
+        }))
+        from adaptive_classifier_tpu.models.hf_tokenizer_adapter import (
+            try_load_hf_tokenizer,
+        )
+
+        assert try_load_hf_tokenizer(str(tmp_path)) is None
