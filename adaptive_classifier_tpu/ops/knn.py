@@ -154,13 +154,13 @@ def topk_scores(
     """
     n_valid = jnp.sum(valid.astype(jnp.int32))
     # rank by similarity (= ascending distance); invalid are 0 and lose unless
-    # fewer than k valid — mask those out after top_k
-    neg = jnp.where(valid[None, :], sims, -jnp.inf)
+    # fewer than k valid — mask those out after top_k.  Finite sentinels
+    # (-1e9, not -inf) keep the softmax NaN-free when nothing is valid.
+    neg = jnp.where(valid[None, :], sims, -1e9)
     vals, idx = jax.lax.top_k(neg, k)                     # [B, k]
     kk = jnp.arange(k)[None, :]
     in_range = kk < n_valid
-    # softmax over the selected k (only in-range slots participate)
-    logits = jnp.where(in_range, vals, -jnp.inf)
+    logits = jnp.where(in_range, vals, -1e9)
     scores = jax.nn.softmax(logits, axis=-1)
     scores = jnp.where(in_range, scores, 0.0)
     idx = jnp.where(in_range, idx, -1)
@@ -174,8 +174,11 @@ def full_scores(
     """Softmax of similarities over all valid prototypes — [B, C].
 
     Equivalent to the reference's ``get_nearest_prototypes(emb, k=#classes)``
-    path used by ``_predict_regular`` (classifier.py:424-425).
+    path used by ``_predict_regular`` (classifier.py:424-425).  With no valid
+    prototypes at all (e.g. after ``clear_memory``) every score is 0 — the
+    reference returns an empty list there (memory.py:106-107) and prediction
+    falls through to the head alone.
     """
-    logits = jnp.where(valid[None, :], sims, -jnp.inf)
+    logits = jnp.where(valid[None, :], sims, -1e9)
     scores = jax.nn.softmax(logits, axis=-1)
     return jnp.where(valid[None, :], scores, 0.0)

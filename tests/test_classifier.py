@@ -167,3 +167,19 @@ def test_profiling_stages(synth_classifier_factory):
     assert "knn_fusion" in summary
     assert "tokenize" in summary and "encoder_forward" in summary
     assert timers.report()
+
+
+def test_predict_after_clear_memory_uses_head_only(synth_classifier_factory):
+    """After clear_memory, prototype scores are all zero (reference returns
+    [] from the empty index) and predictions come from the head alone —
+    must be NaN-free probabilities."""
+    clf = synth_classifier_factory()
+    clf.add_examples(["m:1", "n:1", "m:2", "n:2"], ["m", "n", "m", "n"])
+    clf.clear_memory()
+    preds = clf.predict("m:1", k=2)
+    assert len(preds) == 2
+    for _, s in preds:
+        assert np.isfinite(s) and 0.0 <= s <= 1.0
+    assert abs(sum(s for _, s in preds) - 1.0) < 1e-4
+    batch = clf.predict_batch(["m:1"], k=2)[0]
+    assert all(np.isfinite(s) for _, s in batch)
