@@ -45,7 +45,7 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
-    arch: str = "bert"  # "bert" | "distilbert" | "modernbert"
+    arch: str = "bert"  # "bert" | "distilbert" | "roberta" | "modernbert"
     # ModernBERT-specific (ignored by classic BERT)
     global_attn_every_n_layers: int = 3
     local_attention: int = 128
@@ -171,7 +171,15 @@ def encoder_forward(
     B, S = input_ids.shape
     emb = params["embeddings"]
     h = emb["word"][input_ids]
-    h = h + emb["position"][jnp.arange(S)][None, :, :]
+    if cfg.arch == "roberta":
+        # RoBERTa position ids: pad positions get padding_idx, real tokens
+        # get cumsum(mask) + padding_idx (first real token at pad_id+1)
+        pad = cfg.pad_token_id
+        mask_i = (input_ids != pad).astype(jnp.int32)
+        pos_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
+        h = h + emb["position"][pos_ids]
+    else:
+        h = h + emb["position"][jnp.arange(S)][None, :, :]
     if cfg.type_vocab_size > 0:
         h = h + emb["token_type"][0][None, None, :]
     h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
@@ -280,6 +288,16 @@ def _read_hf_config(path: Path) -> EncoderConfig:
             global_rope_theta=cfg.get("global_rope_theta", 160000.0),
             local_rope_theta=cfg.get("local_rope_theta", 10000.0),
         )
+    if model_type in ("roberta", "xlm-roberta", "camembert"):
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 514),
+            type_vocab_size=cfg.get("type_vocab_size", 1),
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            pad_token_id=cfg.get("pad_token_id", 1), arch="roberta",
+        )
     arch = "distilbert" if "distilbert" in model_type else "bert"
     if arch == "distilbert":
         return EncoderConfig(
@@ -321,7 +339,7 @@ def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, 
 
         return map_modernbert_weights(sd, cfg)
     # strip the model prefix if present
-    prefixes = ("bert.", "distilbert.", "")
+    prefixes = ("bert.", "distilbert.", "roberta.", "")
     def get(name: str) -> np.ndarray:
         for p in prefixes:
             if p + name in sd:

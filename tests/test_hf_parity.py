@@ -155,3 +155,49 @@ def test_modernbert_forward_parity(tmp_path):
     cos = (ours * ref).sum(axis=1)
     assert (cos > 0.999).all(), cos
     np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_roberta_forward_parity(tmp_path):
+    """RoBERTa: offset position ids from the padding index."""
+    from transformers import RobertaConfig, RobertaModel
+
+    cfg = RobertaConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=130, type_vocab_size=1, pad_token_id=1,
+        bos_token_id=0, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    model = RobertaModel(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    vocab = ["<s>", "<pad>", "</s>", "[UNK]", "[CLS]", "[SEP]", "[PAD]", "[MASK]"] + [
+        f"tok{i}" for i in range(504)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    enc = Encoder(str(tmp_path), compute_dtype="float32")
+    assert enc.pretrained and enc.config.arch == "roberta"
+
+    r = np.random.default_rng(0)
+    B, S = 2, 20
+    ids = r.integers(5, 500, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+    mask[1, 14:] = 0
+    ids[1, 14:] = 1  # pad token id
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state[:, 0, :]
+        ref = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(enc._embed_jit(
+        enc.params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    ))
+    cos = (ours * ref).sum(axis=1)
+    assert (cos > 0.999).all(), cos
