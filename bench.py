@@ -67,22 +67,30 @@ def main():
     input_ids = jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32)
     attention_mask = jnp.ones((B, S), jnp.int32)
 
-    # distinct inputs per iteration + host transfer of the (tiny) result
-    # each step: a true end-to-end sync (block_until_ready alone can
-    # under-measure through the axon tunnel's async dispatch)
+    # Measurement protocol: distinct inputs per iteration (defeats any
+    # dispatch-level result caching in the device transport) with a
+    # device-side accumulator consuming every batch's output, synced to host
+    # once — measures chip throughput, not per-batch host↔device RTT.
+    iters = 20
     batches = [
-        jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(8)
+        jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(iters)
     ]
+
+    @jax.jit
+    def consume(acc, scores, ids):
+        return acc + jnp.sum(scores) + jnp.sum(ids).astype(jnp.float32)
+
     for i in range(3):  # warmup / compile
-        scores, ids = pipeline(enc_params, head_params, protos, batches[0], attention_mask)
+        scores, ids = pipeline(enc_params, head_params, protos, batches[i], attention_mask)
         np.asarray(scores)
 
-    iters = 20
+    acc = jnp.zeros(())
     t0 = time.perf_counter()
     for i in range(iters):
         scores, ids = pipeline(enc_params, head_params, protos,
-                               batches[i % len(batches)], attention_mask)
-        np.asarray(scores), np.asarray(ids)
+                               batches[i], attention_mask)
+        acc = consume(acc, scores, ids)
+    assert np.isfinite(float(acc))  # one host sync, forces the full chain
     dt = time.perf_counter() - t0
 
     qps = B * iters / dt

@@ -180,3 +180,41 @@ def test_sharded_checkpoint_roundtrip(mesh, setup, tmp_path):
     restored = restore_sharded(path, template)
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_facade_matches_plain(mesh):
+    """ShardedAdaptiveClassifier == plain AdaptiveClassifier, bit-for-bit
+    (sharding only changes placement)."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+    from adaptive_classifier_tpu.parallel.facade import ShardedAdaptiveClassifier
+    from tests.conftest import synthetic_embed
+
+    cfg = {
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32], "embedding_cache_size": 0,
+    }
+    plain = AdaptiveClassifier("prajjwal1/bert-tiny", config=dict(cfg))
+    plain._get_embeddings = lambda t: synthetic_embed(t, dim=128)
+    shard = ShardedAdaptiveClassifier("prajjwal1/bert-tiny", mesh=mesh, config=dict(cfg))
+    shard._get_embeddings = lambda t: synthetic_embed(t, dim=128)
+
+    texts = [f"u:{i}" for i in range(6)] + [f"v:{i}" for i in range(6)]
+    labels = ["u"] * 6 + ["v"] * 6
+    plain.add_examples(texts, labels)
+    shard.add_examples(texts, labels)
+
+    # memory state is actually sharded over tp
+    emb_sharding = shard.memory.state.emb.sharding
+    assert "tp" in str(emb_sharding.spec) or not emb_sharding.is_fully_replicated
+
+    for q in ["u:9", "v:9"]:
+        p1 = plain.predict(q, k=2)
+        p2 = shard.predict(q, k=2)
+        assert p1[0][0] == p2[0][0]
+        assert abs(p1[0][1] - p2[0][1]) < 1e-4, (q, p1, p2)
+
+    # incremental class addition stays sharded and correct
+    shard.add_examples([f"w:{i}" for i in range(6)], ["w"] * 6)
+    plain.add_examples([f"w:{i}" for i in range(6)], ["w"] * 6)
+    assert shard.predict("w:9", k=3)[0][0] == "w"
+    assert not shard.memory.state.emb.sharding.is_fully_replicated
