@@ -138,6 +138,42 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
     return params
 
 
+def init_params_on_device(seed: int, cfg: EncoderConfig) -> Dict[str, Any]:
+    """Random-init directly in HBM (one jitted program, no host transfer).
+
+    For benchmarks/dry-runs: host-side ``init_params`` moves ~4 bytes/param
+    through the host↔device link (~340 MB for bert-base), which dominates
+    startup on tunneled devices.  Weight distribution matches
+    ``init_params``'s guarantees (normal·0.02), not its bit pattern.
+    """
+    D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+
+    @functools.partial(jax.jit, static_argnums=())
+    def build(key):
+        ks = jax.random.split(key, 9)
+        n = lambda k, shape: jax.random.normal(k, shape, jnp.float32) * 0.02
+        return {
+            "embeddings": {
+                "word": n(ks[0], (cfg.vocab_size, D)),
+                "position": n(ks[1], (cfg.max_position_embeddings, D)),
+                "token_type": n(ks[2], (max(cfg.type_vocab_size, 1), D)),
+                "ln_scale": jnp.ones((D,)), "ln_bias": jnp.zeros((D,)),
+            },
+            "layers": {
+                "q_w": n(ks[3], (L, D, D)), "q_b": jnp.zeros((L, D)),
+                "k_w": n(ks[4], (L, D, D)), "k_b": jnp.zeros((L, D)),
+                "v_w": n(ks[5], (L, D, D)), "v_b": jnp.zeros((L, D)),
+                "o_w": n(ks[6], (L, D, D)), "o_b": jnp.zeros((L, D)),
+                "attn_ln_scale": jnp.ones((L, D)), "attn_ln_bias": jnp.zeros((L, D)),
+                "ffn_in_w": n(ks[7], (L, D, F)), "ffn_in_b": jnp.zeros((L, F)),
+                "ffn_out_w": n(ks[8], (L, F, D)), "ffn_out_b": jnp.zeros((L, D)),
+                "ffn_ln_scale": jnp.ones((L, D)), "ffn_ln_bias": jnp.zeros((L, D)),
+            },
+        }
+
+    return build(jax.random.PRNGKey(seed))
+
+
 # ---------------------------------------------------------------------------
 # forward pass
 # ---------------------------------------------------------------------------
