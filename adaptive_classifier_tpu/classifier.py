@@ -132,11 +132,18 @@ class AdaptiveClassifier:
         chunk = 64
         for s in range(0, len(texts), chunk):
             part = texts[s : s + chunk]
-            pad_to = 8 if len(part) <= 8 else chunk
+            # batch buckets {1, 8, 64}: single-query predicts don't pay 8×
+            if len(part) == 1:
+                pad_to = 1
+            elif len(part) <= 8:
+                pad_to = 8
+            else:
+                pad_to = chunk
             padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
             with stage("tokenize"):
                 ids, mask = self.encoder.tokenizer(
-                    padded, max_length=self.config.max_length, pad_to_multiple_of=64
+                    padded, max_length=self.config.max_length,
+                    pad_to_buckets=self.encoder.SEQ_BUCKETS,
                 )
             with stage("encoder_forward"):
                 emb = self.encoder._embed(

@@ -513,9 +513,14 @@ class Encoder:
     def hidden_size(self) -> int:
         return self.config.hidden_size
 
+    #: sequence-length buckets: short queries pay for 32 tokens, not 512
+    SEQ_BUCKETS = (32, 64, 128, 256, 512)
+
     def embed(self, texts, max_length: int = 512) -> jax.Array:
         """Tokenize on host, embed on device → normalized ``[B, D]`` float32."""
-        ids, mask = self.tokenizer(texts, max_length=max_length, pad_to_multiple_of=64)
+        ids, mask = self.tokenizer(
+            texts, max_length=max_length, pad_to_buckets=self.SEQ_BUCKETS
+        )
         return self._embed(self.params, jnp.asarray(ids), jnp.asarray(mask))
 
 

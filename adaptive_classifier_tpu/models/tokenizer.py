@@ -265,12 +265,13 @@ class WordPieceTokenizer:
         max_length: int = 512,
         pad_to_multiple_of: Optional[int] = None,
         pad_to_length: Optional[int] = None,
+        pad_to_buckets: Optional[Sequence[int]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batch-encode to padded int32 ``(input_ids, attention_mask)``.
 
-        Pads to the batch max (optionally rounded up) — keeping sequence
-        lengths bucketed bounds XLA recompiles while avoiding always paying
-        for ``max_length`` tokens.
+        Pads to the batch max rounded up into a bucket — bucketed sequence
+        lengths bound XLA recompiles while short queries avoid paying for
+        ``max_length`` tokens.
         """
         native = self._get_native()
         if native is not None and all(t.isascii() for t in texts):
@@ -281,7 +282,12 @@ class WordPieceTokenizer:
         longest = max(len(e) for e in encoded)
         if pad_to_length is not None:
             longest = max(longest, pad_to_length)
-        if pad_to_multiple_of:
+        if pad_to_buckets:
+            for b in sorted(pad_to_buckets):
+                if longest <= b:
+                    longest = b
+                    break
+        elif pad_to_multiple_of:
             m = pad_to_multiple_of
             longest = ((longest + m - 1) // m) * m
         longest = min(max(longest, 8), max(max_length, 8))

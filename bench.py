@@ -56,42 +56,36 @@ def main():
     hw = jnp.full((C_cap,), 0.3)
 
     B, S = 256, 64  # short-query regime, batched
+    iters = 20
+    attention_mask = jnp.ones((B, S), jnp.int32)
 
-    @jax.jit
-    def pipeline(enc_params, head_params, protos, input_ids, attention_mask):
+    def pipeline_body(input_ids):
         emb = embed_texts_device(enc_params, input_ids, attention_mask, cfg,
                                  jnp.bfloat16)
         sims = knn.masked_sims(emb, protos, valid)
         logits = head_lib.head_forward(head_params, emb, train=False)
         return fusion.fuse_full(sims, logits, valid, active, pw, hw, k, True)
 
-    input_ids = jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32)
-    attention_mask = jnp.ones((B, S), jnp.int32)
-
-    # Measurement protocol: distinct inputs per iteration (defeats any
-    # dispatch-level result caching in the device transport) with a
-    # device-side accumulator consuming every batch's output, synced to host
-    # once — measures chip throughput, not per-batch host↔device RTT.
-    iters = 20
-    batches = [
-        jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(iters)
-    ]
-
+    # Measurement protocol: the steady-state serving loop runs entirely on
+    # device — `lax.scan` over `iters` distinct pre-staged batches, each
+    # batch's outputs folded into an accumulator, one host sync at the end.
+    # One dispatch measures chip throughput, not host↔device RTT.
     @jax.jit
-    def consume(acc, scores, ids):
-        return acc + jnp.sum(scores) + jnp.sum(ids).astype(jnp.float32)
+    def bench_loop(ids_all):
+        def step(acc, input_ids):
+            scores, idx = pipeline_body(input_ids)
+            return acc + jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32), None
 
-    for i in range(3):  # warmup / compile
-        scores, ids = pipeline(enc_params, head_params, protos, batches[i], attention_mask)
-        np.asarray(scores)
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), ids_all)
+        return acc
 
-    acc = jnp.zeros(())
+    ids_all = jnp.asarray(r.integers(0, 30000, (iters, B, S)), jnp.int32)
+    assert np.isfinite(float(bench_loop(ids_all)))  # warmup / compile
+
+    ids_all2 = jnp.asarray(r.integers(0, 30000, (iters, B, S)), jnp.int32)
     t0 = time.perf_counter()
-    for i in range(iters):
-        scores, ids = pipeline(enc_params, head_params, protos,
-                               batches[i], attention_mask)
-        acc = consume(acc, scores, ids)
-    assert np.isfinite(float(acc))  # one host sync, forces the full chain
+    acc = bench_loop(ids_all2)
+    assert np.isfinite(float(acc))
     dt = time.perf_counter() - t0
 
     qps = B * iters / dt
