@@ -15,6 +15,7 @@ from .ewc import EWC
 from .memory import PrototypeMemory
 from .models.head import AdaptiveHead, MultiLabelAdaptiveHead
 from .multilabel import MultiLabelAdaptiveClassifier
+from .serving import BatchingClassifierServer
 
 __version__ = "0.1.0"
 
@@ -27,4 +28,14 @@ __all__ = [
     "ModelConfig",
     "PrototypeMemory",
     "EWC",
+    "BatchingClassifierServer",
 ]
+
+
+def __getattr__(name):
+    # lazy: the sharded facade pulls in the parallel stack
+    if name == "ShardedAdaptiveClassifier":
+        from .parallel.facade import ShardedAdaptiveClassifier
+
+        return ShardedAdaptiveClassifier
+    raise AttributeError(name)
