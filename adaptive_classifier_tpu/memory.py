@@ -405,11 +405,19 @@ class PrototypeMemory:
                 emb=self.state.emb.at[slot, :n].set(jnp.asarray(embs, jnp.float32)),
                 count=self.state.count.at[slot].set(n),
             )
+        elif prototype is not None:
+            # prototype with no surviving examples: store the prototype as the
+            # single stored row so it stays searchable and future means are
+            # seeded from it rather than a zeros row
+            self.texts[label] = [f"<prototype:{label}>"]
+            self.state = self.state.replace(
+                emb=self.state.emb.at[slot, 0].set(jnp.asarray(prototype, jnp.float32)),
+                count=self.state.count.at[slot].set(1),
+            )
         self.state = recompute_prototypes(self.state)
         if prototype is not None:
             self.state = self.state.replace(
                 proto=self.state.proto.at[slot].set(jnp.asarray(prototype, jnp.float32)),
-                count=jnp.maximum(self.state.count, (jnp.arange(self.state.class_capacity) == slot).astype(jnp.int32)),
             )
 
     # -- strategic prototypes (reference memory.py:247-295) -------------
