@@ -15,7 +15,6 @@ models.py:51-66) using a threaded JAX PRNG rather than torch's global seed.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax

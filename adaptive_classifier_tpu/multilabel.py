@@ -18,7 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .classifier import AdaptiveClassifier
-from .memory import gather_training_set
 from .models import head as head_lib
 from . import training
 

@@ -20,7 +20,7 @@ in Python (classifier.py:1328-1384).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

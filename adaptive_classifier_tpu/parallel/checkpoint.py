@@ -11,7 +11,7 @@ resharding — checkpoint/resume for the sharded index.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

@@ -14,10 +14,10 @@ sharded without touching the base-class logic.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..classifier import AdaptiveClassifier
 from ..memory import MemoryState, PrototypeMemory

@@ -16,7 +16,7 @@ Implements the multi-chip execution paths (SURVEY.md §2.3's TPU-native plan):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

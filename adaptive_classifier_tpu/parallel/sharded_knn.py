@@ -14,9 +14,6 @@ semantics are identical to the single-chip path (ops/knn.py): similarity
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

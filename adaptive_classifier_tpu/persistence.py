@@ -27,11 +27,10 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from safetensors.numpy import load_file, save_file
 
-from .config import Example, ModelConfig
+from .config import Example
 from .models import head as head_lib
 
 logger = logging.getLogger(__name__)

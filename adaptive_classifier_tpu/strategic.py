@@ -16,7 +16,6 @@ under-produces (only possible for very low-dimensional inputs).
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Callable, Dict, List, Optional, Tuple, Union
 

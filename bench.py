@@ -63,12 +63,13 @@ def main():
     # dispatch runs the full pipeline AND folds its outputs into a chained
     # device-side accumulator (so no result can be skipped or cached), with
     # ONE host sync at the end — chip throughput, not per-batch RTT.
+    # Parameters are arguments, never jit-captured constants (a captured
+    # 340MB weight pytree gets serialized into the program).
     @jax.jit
-    def pipeline_step(acc, input_ids):
-        emb = embed_texts_device(enc_params, input_ids, attention_mask, cfg,
-                                 jnp.bfloat16)
-        sims = knn.masked_sims(emb, protos, valid)
-        logits = head_lib.head_forward(head_params, emb, train=False)
+    def pipeline_step(acc, ep, hp, pr, input_ids):
+        emb = embed_texts_device(ep, input_ids, attention_mask, cfg, jnp.bfloat16)
+        sims = knn.masked_sims(emb, pr, valid)
+        logits = head_lib.head_forward(hp, emb, train=False)
         scores, idx = fusion.fuse_full(sims, logits, valid, active, pw, hw, k, True)
         acc = acc + jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
         return acc, scores, idx
@@ -77,13 +78,14 @@ def main():
         jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(iters)
     ]
     acc = jnp.zeros(())
-    acc, scores, idx = pipeline_step(acc, batches[0])  # warmup / compile
-    np.asarray(scores)
+    acc, scores, idx = pipeline_step(acc, enc_params, head_params, protos, batches[0])
+    np.asarray(scores)  # warmup / compile
 
     acc = jnp.zeros(())
     t0 = time.perf_counter()
     for i in range(iters):
-        acc, scores, idx = pipeline_step(acc, batches[i])
+        acc, scores, idx = pipeline_step(acc, enc_params, head_params, protos,
+                                         batches[i])
     assert np.isfinite(float(acc))  # one host sync forces the full chain
     dt = time.perf_counter() - t0
 
