@@ -4,6 +4,7 @@ Checks the fused kNN kernel against the jnp reference on-device and reports
 search throughput at two index sizes.  Exit nonzero on parity failure.
 """
 import sys; sys.path.insert(0, ".")
+import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 from adaptive_classifier_tpu.ops import knn
 
