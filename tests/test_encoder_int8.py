@@ -1,0 +1,66 @@
+"""Int8 encoder forward tests — accuracy envelope vs the float forward
+(the reference's quantized-ONNX acceptance pattern: top-1 parity and
+bounded score drift, test_onnx_phase2.py:114-158)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from adaptive_classifier_tpu.models.encoder import (
+    EncoderConfig, embed_texts_device, init_params,
+)
+from adaptive_classifier_tpu.models.encoder_int8 import (
+    embed_texts_device_int8, quantize_encoder_for_inference, quantize_weight,
+)
+
+
+def test_weight_quantization_error_bounded():
+    r = np.random.default_rng(0)
+    w = jnp.asarray(r.standard_normal((64, 32)), jnp.float32)
+    q, s = quantize_weight(w)
+    back = q.astype(jnp.float32) * s[None, :]
+    rel = float(jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.01
+
+
+def test_int8_embedding_cosine_parity():
+    cfg = EncoderConfig(vocab_size=512, hidden_size=64, num_layers=3,
+                        num_heads=4, intermediate_size=128,
+                        max_position_embeddings=64)
+    params = init_params(0, cfg)
+    qparams = quantize_encoder_for_inference(params)
+
+    r = np.random.default_rng(1)
+    B, S = 4, 24
+    ids = jnp.asarray(r.integers(0, 500, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    full = np.asarray(embed_texts_device(params, ids, mask, cfg, jnp.float32))
+    quant = np.asarray(embed_texts_device_int8(qparams, ids, mask, cfg, jnp.float32))
+    cos = (full * quant).sum(axis=1)
+    assert (cos > 0.99).all(), cos
+
+
+def test_int8_classification_top1_parity():
+    """Top-1 class agreement through the kNN path (the reference accepts
+    quantized backends when top-1 matches and scores drift < 0.05)."""
+    from adaptive_classifier_tpu.ops import knn
+
+    cfg = EncoderConfig(vocab_size=512, hidden_size=64, num_layers=3,
+                        num_heads=4, intermediate_size=128,
+                        max_position_embeddings=64)
+    params = init_params(0, cfg)
+    qparams = quantize_encoder_for_inference(params)
+    r = np.random.default_rng(2)
+    ids = jnp.asarray(r.integers(0, 500, (6, 16)), jnp.int32)
+    mask = jnp.ones((6, 16), jnp.int32)
+    protos = jnp.asarray(r.standard_normal((8, 64)), jnp.float32)
+    protos = protos / jnp.linalg.norm(protos, axis=1, keepdims=True)
+    valid = jnp.ones(8, bool)
+
+    e_full = embed_texts_device(params, ids, mask, cfg, jnp.float32)
+    e_q = embed_texts_device_int8(qparams, ids, mask, cfg, jnp.float32)
+    s_full, i_full = knn.topk_scores(knn.masked_sims_ref(e_full, protos, valid), valid, 3)
+    s_q, i_q = knn.topk_scores(knn.masked_sims_ref(e_q, protos, valid), valid, 3)
+    np.testing.assert_array_equal(np.asarray(i_full)[:, 0], np.asarray(i_q)[:, 0])
+    assert np.abs(np.asarray(s_full) - np.asarray(s_q)).max() < 0.05
