@@ -68,7 +68,10 @@ class AdaptiveClassifier:
         self.use_onnx = False  # XLA path everywhere; kept for API parity
         self._rng = jax.random.PRNGKey(seed)
 
-        self.encoder = Encoder(model_name, compute_dtype=self.config.compute_dtype, seed=seed)
+        self.encoder = Encoder(
+            model_name, compute_dtype=self.config.compute_dtype, seed=seed,
+            quantization=self.config.quantization,
+        )
         self.embedding_dim = self.encoder.hidden_size
 
         self.memory = PrototypeMemory(self.embedding_dim, config=self.config)

@@ -448,11 +448,13 @@ class Encoder:
     (offline mode) so every downstream component still runs end-to-end.
     """
 
-    def __init__(self, model_name: str, compute_dtype: str = "bfloat16", seed: int = 0):
+    def __init__(self, model_name: str, compute_dtype: str = "bfloat16", seed: int = 0,
+                 quantization: Optional[str] = None):
         from .tokenizer import WordPieceTokenizer
 
         self.model_name = model_name
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.quantization = quantization
         ckpt = _find_local_checkpoint(model_name)
         if ckpt is not None:
             self.config = _read_hf_config(ckpt)
@@ -488,6 +490,23 @@ class Encoder:
 
         cfg = self.config
         cd = self.compute_dtype
+
+        # int8 inference path (reference ModelConfig.quantization key):
+        # weights quantized once; activations quantized per token on the fly
+        if self.quantization == "int8" and cfg.arch in ("bert", "distilbert", "roberta"):
+            from .encoder_int8 import (
+                embed_texts_device_int8, quantize_encoder_for_inference,
+            )
+
+            self.params = jax.jit(quantize_encoder_for_inference)(self.params)
+
+            @jax.jit
+            def _embed_q(params, input_ids, attention_mask):
+                return embed_texts_device_int8(params, input_ids, attention_mask, cfg, cd)
+
+            self._embed_jit = _embed_q
+            self._embed = lambda p, ids, mask: _embed_q(p, ids, mask)
+            return
 
         @functools.partial(jax.jit, static_argnames=("use_flash",))
         def _embed(params, input_ids, attention_mask, use_flash=False):

@@ -64,3 +64,20 @@ def test_int8_classification_top1_parity():
     s_q, i_q = knn.topk_scores(knn.masked_sims_ref(e_q, protos, valid), valid, 3)
     np.testing.assert_array_equal(np.asarray(i_full)[:, 0], np.asarray(i_q)[:, 0])
     assert np.abs(np.asarray(s_full) - np.asarray(s_q)).max() < 0.05
+
+
+def test_classifier_with_int8_quantization(synth_classifier_factory):
+    """ModelConfig.quantization='int8' routes the encoder through the int8
+    path end-to-end (reference config key, models.py:138)."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    clf = AdaptiveClassifier("prajjwal1/bert-tiny", config={
+        "quantization": "int8",
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32], "embedding_cache_size": 0,
+    })
+    emb = clf._get_embeddings(["hello world", "other text"])
+    assert np.isfinite(emb).all()
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+    # int8 weights actually present
+    assert "q_w.int8" in clf.encoder.params["layers"]
