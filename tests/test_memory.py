@@ -168,3 +168,15 @@ def test_concurrent_add_example_threadsafe():
     for t in range(n_threads):
         slot = mem.label_to_index[f"class{t}"]
         assert int(mem.state.count[slot]) == per_thread
+
+
+def test_updates_since_rebuild_counter_resets():
+    """Stats counter resets at prototype_update_frequency
+    (reference test_memory.py:104-119); with no rebuild step the counter is
+    bookkeeping parity only."""
+    mem = PrototypeMemory(DIM, cfg(prototype_update_frequency=5))
+    for i in range(4):
+        mem.add_example(Example(f"t{i}", "a", vec(i)), "a")
+    assert mem.get_stats()["updates_since_rebuild"] == 4
+    mem.add_example(Example("t4", "a", vec(4)), "a")
+    assert mem.get_stats()["updates_since_rebuild"] == 0

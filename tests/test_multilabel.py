@@ -118,3 +118,26 @@ def test_save_load_multilabel(ml_factory, tmp_path):
     assert clf2.label_to_id == clf.label_to_id
     preds = clf2.predict_multilabel("a:99", threshold=0.0)
     assert len(preds) >= 1
+
+
+def test_25_label_no_threshold_regression(ml_factory):
+    """25-label 'no labels met the threshold criteria' regression
+    (reference test_multilabel.py:149-174): with many labels the adaptive
+    threshold drops to 0.2x and min_predictions backfills."""
+    clf = ml_factory(min_predictions=1)
+    labels = [f"lab{i:02d}" for i in range(25)]
+    texts = [f"{l}:{j}" for l in labels for j in range(2)]
+    clf.add_examples(texts, [[l] for l in labels for _ in range(2)])
+    assert clf._get_adaptive_threshold(25) == pytest.approx(clf.default_threshold * 0.2)
+    preds = clf.predict_multilabel("lab00:9")
+    assert len(preds) >= 1  # never empty
+
+
+def test_predict_falls_back_to_base(ml_factory):
+    """predict() falls back to single-label fusion when multilabel returns
+    nothing (multilabel.py:231-243)."""
+    clf = ml_factory(default_threshold=1.5)  # impossible threshold, no backfill
+    clf.min_predictions = 0
+    clf.add_examples(["a:1", "b:1"], [["a"], ["b"]])
+    preds = clf.predict("a:1", k=2)
+    assert preds  # base fusion path produced results
