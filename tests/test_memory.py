@@ -180,3 +180,36 @@ def test_updates_since_rebuild_counter_resets():
     assert mem.get_stats()["updates_since_rebuild"] == 4
     mem.add_example(Example("t4", "a", vec(4)), "a")
     assert mem.get_stats()["updates_since_rebuild"] == 0
+
+
+def test_strategic_prototypes_in_memory():
+    """compute_strategic_prototypes + cosine ranking (reference
+    memory.py:247-295; the reference's get_strategic_prototypes has a latent
+    NameError — F never imported — fixed here)."""
+    import jax
+    import jax.numpy as jnp
+    from adaptive_classifier_tpu.strategic import SeparableCostFunction
+
+    mem = PrototypeMemory(DIM, cfg())
+    for label, seed in [("a", 1), ("b", 2)]:
+        for i in range(3):
+            mem.add_example(Example(f"{label}{i}", label, vec(seed * 10 + i)), label)
+
+    cost = SeparableCostFunction(np.full(DIM, 0.05, np.float32),
+                                 np.full(DIM, 0.05, np.float32))
+
+    def f(z):
+        p1 = jax.nn.sigmoid(z[:, 0])
+        return jnp.stack([1 - p1, p1], axis=-1)
+
+    # without strategic prototypes: falls back to regular kNN
+    res = mem.get_strategic_prototypes(vec(11), k=2)
+    assert len(res) == 2
+
+    mem.compute_strategic_prototypes(cost, f)
+    assert set(mem.strategic_prototypes) == {"a", "b"}
+    res = mem.get_strategic_prototypes(vec(11), k=2)
+    assert len(res) == 2
+    # cosine scores sorted descending
+    assert res[0][1] >= res[1][1]
+    assert all(-1.001 <= s <= 1.001 for _, s in res)
