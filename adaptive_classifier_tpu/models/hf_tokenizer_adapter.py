@@ -95,7 +95,7 @@ class HFTokenizerAdapter:
         return ids, mask
 
 
-def try_load_hf_tokenizer(path: str) -> Optional[HFTokenizerAdapter]:
+def try_load_hf_tokenizer(path: str):
     p = Path(path)
     if not (p / "tokenizer.json").exists():
         return None
@@ -104,7 +104,19 @@ def try_load_hf_tokenizer(path: str) -> Optional[HFTokenizerAdapter]:
         model_type = (data.get("model") or {}).get("type", "")
         if model_type == "WordPiece":
             return None  # first-party WordPiece handles these
+    except Exception as e:
+        logger.debug(f"tokenizer.json unreadable for {path}: {e}")
+        return None
+    try:
         return HFTokenizerAdapter(str(p))
     except Exception as e:
-        logger.debug(f"HF tokenizer adapter unavailable for {path}: {e}")
-        return None
+        logger.debug(f"Rust tokenizers runtime unavailable ({e}); "
+                     f"falling back to first-party byte-level BPE")
+    if model_type == "BPE":
+        try:
+            from .bpe import ByteLevelBPE
+
+            return ByteLevelBPE.from_tokenizer_json(str(p))
+        except Exception as e:
+            logger.debug(f"first-party BPE load failed for {path}: {e}")
+    return None
