@@ -125,35 +125,62 @@ class AdaptiveClassifier:
             return out
         return self._embed_uncached(texts)
 
+    def _tokenize_chunk(self, part: List[str]):
+        # batch buckets {1, 8, 64}: single-query predicts don't pay 8×
+        if len(part) == 1:
+            pad_to = 1
+        elif len(part) <= 8:
+            pad_to = 8
+        else:
+            pad_to = 64
+        padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
+        return self.encoder.tokenizer(
+            padded, max_length=self.config.max_length,
+            pad_to_buckets=self.encoder.SEQ_BUCKETS,
+        )
+
     def _embed_uncached(self, texts: List[str]) -> np.ndarray:
+        """Chunked tokenize → embed with a one-chunk lookahead pipeline:
+        chunk N+1 tokenizes on a worker thread while the device runs chunk N
+        (jax dispatch is async, so the device computes while the host
+        tokenizes — the input pipeline never starves the chip)."""
         import contextlib
+        from concurrent.futures import ThreadPoolExecutor
 
         stage = self.timers.stage if self.timers is not None else (
             lambda name, **kw: contextlib.nullcontext()
         )
-        out = []
         chunk = 64
-        for s in range(0, len(texts), chunk):
-            part = texts[s : s + chunk]
-            # batch buckets {1, 8, 64}: single-query predicts don't pay 8×
-            if len(part) == 1:
-                pad_to = 1
-            elif len(part) <= 8:
-                pad_to = 8
-            else:
-                pad_to = chunk
-            padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
+        parts = [texts[s : s + chunk] for s in range(0, len(texts), chunk)]
+        out: List[np.ndarray] = []
+        if len(parts) == 1:
             with stage("tokenize"):
-                ids, mask = self.encoder.tokenizer(
-                    padded, max_length=self.config.max_length,
-                    pad_to_buckets=self.encoder.SEQ_BUCKETS,
-                )
+                ids, mask = self._tokenize_chunk(parts[0])
             with stage("encoder_forward"):
                 emb = self.encoder._embed(
                     self.encoder.params, jnp.asarray(ids), jnp.asarray(mask)
                 )
-                emb_np = np.asarray(emb[: len(part)])
-            out.append(emb_np)
+                out.append(np.asarray(emb[: len(parts[0])]))
+            return np.concatenate(out, axis=0)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending_tok = pool.submit(self._tokenize_chunk, parts[0])
+            pending_emb = None  # (device array, n_rows)
+            for i, part in enumerate(parts):
+                with stage("tokenize"):
+                    ids, mask = pending_tok.result()
+                if i + 1 < len(parts):
+                    pending_tok = pool.submit(self._tokenize_chunk, parts[i + 1])
+                with stage("encoder_forward"):
+                    emb = self.encoder._embed(
+                        self.encoder.params, jnp.asarray(ids), jnp.asarray(mask)
+                    )  # async dispatch — device runs while host tokenizes
+                if pending_emb is not None:
+                    arr, n = pending_emb
+                    out.append(np.asarray(arr[:n]))
+                pending_emb = (emb, len(part))
+            arr, n = pending_emb
+            out.append(np.asarray(arr[:n]))
         return np.concatenate(out, axis=0)
 
     def enable_profiling(self):

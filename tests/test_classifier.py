@@ -183,3 +183,15 @@ def test_predict_after_clear_memory_uses_head_only(synth_classifier_factory):
     assert abs(sum(s for _, s in preds) - 1.0) < 1e-4
     batch = clf.predict_batch(["m:1"], k=2)[0]
     assert all(np.isfinite(s) for _, s in batch)
+
+
+def test_pipelined_embedding_matches_sequential(tiny_classifier_factory):
+    """The lookahead input pipeline (>64 texts) returns the same embeddings
+    as the single-chunk path."""
+    clf = tiny_classifier_factory()
+    texts = [f"sample text number {i} with words" for i in range(150)]
+    piped = clf._embed_uncached(texts)
+    # sequential reference: one chunk at a time
+    seq = np.concatenate([clf._embed_uncached(texts[s:s + 64]) for s in (0, 64, 128)])
+    np.testing.assert_allclose(piped, seq, atol=1e-6)
+    assert piped.shape == (150, clf.embedding_dim)
