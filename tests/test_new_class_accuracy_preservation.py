@@ -65,3 +65,31 @@ def test_progressive_class_addition(synth_classifier_factory):
         clf.add_examples([f"{new}:{i}" for i in range(6)], [new] * 6)
     for l in labels:
         assert clf.predict(f"{l}:99", k=4)[0][0] == l, l
+
+
+@pytest.mark.slow
+def test_banking77_scale_scenario(synth_classifier_factory):
+    """Banking77-scale: 77 intents, then 3 new ones — the reference's
+    flagship continual-learning scenario at its real class count
+    (tests/test_new_class_accuracy_preservation.py uses 41+3; the published
+    llm-router/Banking77 models run 77)."""
+    clf = synth_classifier_factory(class_capacity_buckets=[8, 16, 32, 64, 128],
+                                   train_size_buckets=[64, 256, 1024])
+    labels = [f"intent{i:02d}" for i in range(77)]
+    clf.add_examples(
+        [f"{l}:{j}" for l in labels for j in range(4)],
+        [l for l in labels for _ in range(4)],
+    )
+    queries = [f"{l}:99" for l in labels]
+    preds = clf.predict_batch(queries, k=1)
+    acc_before = np.mean([p[0][0] == l for p, l in zip(preds, labels)])
+    assert acc_before >= 0.9, acc_before
+
+    new = ["newA", "newB", "newC"]
+    clf.add_examples([f"{l}:{j}" for l in new for j in range(4)],
+                     [l for l in new for _ in range(4)])
+    preds = clf.predict_batch(queries, k=1)
+    acc_after = np.mean([p[0][0] == l for p, l in zip(preds, labels)])
+    assert (acc_before - acc_after) / acc_before <= 0.10
+    acc_new = np.mean([clf.predict(f"{l}:9", k=1)[0][0] == l for l in new])
+    assert acc_new >= 2 / 3
