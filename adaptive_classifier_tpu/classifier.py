@@ -16,7 +16,6 @@ k ids) pair returns — the north-star single-device-pipeline requirement
 
 from __future__ import annotations
 
-import copy
 import logging
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Set, Tuple, Union
