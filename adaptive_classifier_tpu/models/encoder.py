@@ -229,7 +229,11 @@ def encoder_forward(
     scale = 1.0 / np.sqrt(Dh)
     from ..ops.layernorm import add_layer_norm
 
-    use_fused_ln = jax.default_backend() == "tpu"
+    # measured on v5e: the Pallas add+LN kernel is slightly SLOWER than
+    # XLA's own convert+reduce fusion (6555 vs 6837 q/s end-to-end) — XLA
+    # already fuses the LN epilogue optimally and the kernel call breaks
+    # surrounding fusions.  Kept off; ops/layernorm.py documents the result.
+    use_fused_ln = False
 
     # fused QKV: one [D, 3D] matmul per layer instead of three [D, D] —
     # measured +2.7% end-to-end on v5e; the concat hoists out of the scan

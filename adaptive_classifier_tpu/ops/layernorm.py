@@ -8,7 +8,16 @@ one VMEM pass: load the bf16 activation + residual tiles once, accumulate
 statistics in f32 on the VPU, write the normalized bf16 output once.
 
 Parity vs the jnp reference (`models/encoder._layer_norm`) is tested in
-interpreter mode; the encoder uses the kernel on TPU.
+interpreter mode.
+
+**Measured outcome (v5e, bert-base, B=256, S=64): end-to-end 6555 q/s with
+this kernel vs 6837 q/s with XLA's own fusion — the kernel is ~4% slower.**
+The traced convert+reduce cost is intrinsic VPU work that XLA already fuses
+optimally, and the pallas_call boundary prevents fusing the preceding
+bias-add into the same epilogue.  The kernel is therefore OFF by default
+(encoder passes ``use_pallas=False``) and kept as a parity-tested building
+block and a recorded experiment — same lesson as flash attention at ≤512
+tokens: don't hand-schedule what the compiler already schedules.
 """
 
 from __future__ import annotations
