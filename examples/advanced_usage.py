@@ -2,11 +2,13 @@
 (reference analog: examples/advanced_usage.py).
 """
 
+import os
+
 from adaptive_classifier_tpu import AdaptiveClassifier
 
 
 def batch_and_stats():
-    clf = AdaptiveClassifier("bert-base-uncased")
+    clf = AdaptiveClassifier(os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"))
     clf.add_examples(
         ["My card was charged twice", "Cannot log into my account",
          "App crashes on startup", "Billing cycle is wrong",
@@ -24,9 +26,9 @@ def batch_and_stats():
 
 
 def merging():
-    a = AdaptiveClassifier("bert-base-uncased")
+    a = AdaptiveClassifier(os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"))
     a.add_examples(["great stuff", "love it"], ["positive", "positive"])
-    b = AdaptiveClassifier("bert-base-uncased")
+    b = AdaptiveClassifier(os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"))
     b.add_examples(["horrible", "awful product"], ["negative", "negative"])
     a.merge_classifiers(b)
     print("merged classes:", sorted(a.label_to_id))
@@ -35,7 +37,7 @@ def merging():
 def strategic_mode():
     """Game-theoretic robustness against strategic input manipulation."""
     clf = AdaptiveClassifier(
-        "bert-base-uncased",
+        os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"),
         config={
             "enable_strategic_mode": True,
             "cost_function_type": "linear",

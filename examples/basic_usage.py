@@ -2,13 +2,15 @@
 (reference analog: examples/basic_usage.py), running wholly on TPU.
 """
 
+import os
+
 from adaptive_classifier_tpu import AdaptiveClassifier
 
 
 def main():
     # any HF BERT-family model name; loads local checkpoints when present,
     # otherwise runs with deterministic offline weights
-    classifier = AdaptiveClassifier("bert-base-uncased")
+    classifier = AdaptiveClassifier(os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"))
 
     texts = [
         "The product works great and arrived quickly",

@@ -1,11 +1,13 @@
 """Multi-label classification (reference analog: examples/multilabel_usage.py)."""
 
+import os
+
 from adaptive_classifier_tpu import MultiLabelAdaptiveClassifier
 
 
 def main():
     clf = MultiLabelAdaptiveClassifier(
-        "bert-base-uncased",
+        os.environ.get("AC_TPU_EXAMPLE_MODEL", "bert-base-uncased"),
         default_threshold=0.5,
         min_predictions=1,
         max_predictions=3,

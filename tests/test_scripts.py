@@ -43,3 +43,14 @@ def test_train_hallucination_detector(monkeypatch, capsys, tmp_path):
     out = capsys.readouterr().out
     assert "f1" in out
     assert (tmp_path / "h" / "model.safetensors").exists()
+
+
+@pytest.mark.parametrize("example", ["basic_usage.py", "advanced_usage.py",
+                                     "multilabel_usage.py"])
+def test_examples_run(example, monkeypatch, tmp_path):
+    """Examples execute end-to-end (small model via env override)."""
+    monkeypatch.setenv("AC_TPU_EXAMPLE_MODEL", "prajjwal1/bert-tiny")
+    monkeypatch.chdir(tmp_path)  # basic_usage saves ./demo_classifier
+    examples_dir = Path(__file__).resolve().parent.parent / "examples"
+    monkeypatch.setattr(sys, "argv", [example])
+    runpy.run_path(str(examples_dir / example), run_name="__main__")
