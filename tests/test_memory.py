@@ -213,3 +213,16 @@ def test_strategic_prototypes_in_memory():
     # cosine scores sorted descending
     assert res[0][1] >= res[1][1]
     assert all(-1.001 <= s <= 1.001 for _, s in res)
+
+
+def test_min_similarity_filter():
+    """get_nearest_prototypes(min_similarity=...) drops low-score neighbors
+    (reference memory.py:85-96 signature)."""
+    mem = PrototypeMemory(DIM, cfg())
+    for label, seed in [("a", 1), ("b", 2), ("c", 3)]:
+        mem.add_example(Example(f"x{seed}", label, vec(seed)), label)
+    all_res = mem.get_nearest_prototypes(vec(1), k=3)
+    thresh = all_res[1][1] + 1e-6  # keep only the top neighbor
+    filtered = mem.get_nearest_prototypes(vec(1), k=3, min_similarity=thresh)
+    assert len(filtered) < len(all_res)
+    assert filtered[0][0] == all_res[0][0]
