@@ -218,3 +218,13 @@ def test_sharded_facade_matches_plain(mesh):
     plain.add_examples([f"w:{i}" for i in range(6)], ["w"] * 6)
     assert shard.predict("w:9", k=3)[0][0] == "w"
     assert not shard.memory.state.emb.sharding.is_fully_replicated
+
+
+def test_multihost_noop_on_single_host(monkeypatch):
+    """Without a coordinator address, distributed init is a no-op."""
+    from adaptive_classifier_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert multihost.initialize_distributed() is False
+    m = multihost.global_mesh()
+    assert int(np.prod(m.devices.shape)) == len(jax.devices())
