@@ -65,6 +65,12 @@ class AdaptiveClassifier:
         self.device = device or jax.default_backend()
         self.seed = seed
         self.use_onnx = False  # XLA path everywhere; kept for API parity
+        if use_onnx is True:
+            logger.warning(
+                "use_onnx=True has no effect on TPU: the jitted XLA forward "
+                "is the optimized inference path (ONNX exists in the "
+                "reference to accelerate CPU inference only)"
+            )
         self._rng = jax.random.PRNGKey(seed)
 
         self.encoder = Encoder(

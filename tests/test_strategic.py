@@ -193,3 +193,24 @@ def test_non_strategic_classifier_raises_on_eval(synth_classifier_factory):
     clf.add_examples(["a:1", "b:1"], ["a", "b"])
     with pytest.raises(ValueError):
         clf.evaluate_strategic_robustness(["a:1"], ["a"])
+
+
+def test_periodic_strategic_training_trigger():
+    """Strategic training fires when train_steps hits the configured
+    frequency (classifier.py:196-197)."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    clf = AdaptiveClassifier("prajjwal1/bert-tiny", config={
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32],
+        "enable_strategic_mode": True,
+        "cost_function_type": "linear",
+        "cost_coefficients": {"c": 0.5},
+        "strategic_training_frequency": 1,  # fire on every add
+    })
+    clf._get_embeddings = lambda texts: synthetic_embed(texts, dim=clf.embedding_dim)
+    calls = []
+    original = clf._perform_strategic_training
+    clf._perform_strategic_training = lambda: calls.append(1) or original()
+    clf.add_examples(["a:1", "b:1", "a:2", "b:2"], ["a", "b", "a", "b"])
+    assert calls, "strategic training did not trigger at frequency=1"
