@@ -103,3 +103,21 @@ class TestFlatIndex:
         _, ids_device = knn.topk_scores(sims, jnp.ones(n, bool), k)
         np.testing.assert_array_equal(np.sort(ids_native, axis=1),
                                       np.sort(np.asarray(ids_device), axis=1))
+
+
+class TestNativeTokenizerFuzz:
+    def test_fuzz_ascii_parity(self):
+        """Property-based: native C++ WordPiece == Python on arbitrary
+        printable-ASCII strings."""
+        from hypothesis import given, settings, strategies as st
+
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                       max_size=80))
+        def check(text):
+            assert nat.encode(text, 64).tolist() == tok.encode(text, max_length=64)
+
+        check()
