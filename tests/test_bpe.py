@@ -92,3 +92,29 @@ def test_adapter_falls_back_to_first_party(trained_pair, tmp_path, monkeypatch):
     assert isinstance(tok, ByteLevelBPE)
     ids, mask = tok(["hello world"], max_length=16)
     assert ids.shape[0] == 1
+
+
+def test_fuzz_parity_with_rust(trained_pair):
+    """Property-based: first-party BPE == Rust on arbitrary printable ASCII."""
+    from hypothesis import given, settings, strategies as st
+
+    rust, ours = trained_pair
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                   max_size=60))
+    def check(text):
+        assert ours.encode_text(text) == rust.encode(text).ids
+
+    check()
+
+
+def test_fuzz_pretokenize_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=60))
+    def check(text):
+        assert "".join(gpt2_pretokenize(text)) == text
+
+    check()
