@@ -131,13 +131,15 @@ class AdaptiveClassifier:
         return self._embed_uncached(texts)
 
     def _tokenize_chunk(self, part: List[str]):
-        # batch buckets {1, 8, 64}: single-query predicts don't pay 8×
+        # batch buckets {1, 8, 64, chunk}: single-query predicts don't pay 8×
         if len(part) == 1:
             pad_to = 1
         elif len(part) <= 8:
             pad_to = 8
-        else:
+        elif len(part) <= 64:
             pad_to = 64
+        else:
+            pad_to = self.config.embed_chunk_size
         padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
         return self.encoder.tokenizer(
             padded, max_length=self.config.max_length,
@@ -155,7 +157,7 @@ class AdaptiveClassifier:
         stage = self.timers.stage if self.timers is not None else (
             lambda name, **kw: contextlib.nullcontext()
         )
-        chunk = 64
+        chunk = max(self.config.embed_chunk_size, 64)
         parts = [texts[s : s + chunk] for s in range(0, len(texts), chunk)]
         out: List[np.ndarray] = []
         if len(parts) == 1:
@@ -466,10 +468,14 @@ class AdaptiveClassifier:
         stage = self.timers.stage if self.timers is not None else (
             lambda name, **kw: contextlib.nullcontext()
         )
+        # embed the whole list through the big-chunk input pipeline once;
+        # fusion then runs per batch_size slice (reference slicing semantics,
+        # classifier.py:1321-1325, without re-dispatching the encoder per slice)
+        emb_all = self._get_embeddings(texts)
         results: List[List[Tuple[str, float]]] = []
         for s in range(0, len(texts), batch_size):
             part = texts[s : s + batch_size]
-            emb = self._embed_device(part)
+            emb = jnp.asarray(emb_all[s : s + batch_size])
             with stage("knn_fusion"):
                 sims = self.memory.sims_for(emb)
                 has_head = self.head_params is not None

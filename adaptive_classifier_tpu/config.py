@@ -154,6 +154,9 @@ class ModelConfig:
         #: host-side LRU for text→embedding (0 disables); the encoder is
         #: frozen so cached rows never go stale
         self.embedding_cache_size = g("embedding_cache_size", 4096)
+        #: device batch per encoder dispatch on the embed path — larger
+        #: chunks amortize per-dispatch host↔device latency on batch streams
+        self.embed_chunk_size = g("embed_chunk_size", 256)
 
     def update(self, **kwargs):
         for key, value in kwargs.items():
