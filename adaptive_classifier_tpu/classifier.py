@@ -469,25 +469,28 @@ class AdaptiveClassifier:
             lambda name, **kw: contextlib.nullcontext()
         )
         # embed the whole list through the big-chunk input pipeline once;
-        # fusion then runs per batch_size slice (reference slicing semantics,
-        # classifier.py:1321-1325, without re-dispatching the encoder per slice)
+        # fusion then dispatches per batch_size slice (reference slicing
+        # semantics, classifier.py:1321-1325) with device results collected
+        # asynchronously and converted to host in one drain at the end
         emb_all = self._get_embeddings(texts)
-        results: List[List[Tuple[str, float]]] = []
+        has_head = self.head_params is not None
+        kk = min(max(k, 1), self._class_capacity)
+        device_slices = []
         for s in range(0, len(texts), batch_size):
-            part = texts[s : s + batch_size]
             emb = jnp.asarray(emb_all[s : s + batch_size])
             with stage("knn_fusion"):
                 sims = self.memory.sims_for(emb)
-                has_head = self.head_params is not None
                 logits = self._head_logits(emb)
-                kk = min(max(k, 1), self._class_capacity)
                 scores, ids = fusion.fuse_topk(
                     sims, logits, self.memory.state.valid, self._active_mask(),
                     0.7, 0.3, kk, has_head,
                 )
-                scores, ids = np.asarray(scores), np.asarray(ids)
+            device_slices.append((len(texts[s : s + batch_size]), scores, ids))
+        results: List[List[Tuple[str, float]]] = []
+        for n, scores, ids in device_slices:
+            scores, ids = np.asarray(scores), np.asarray(ids)
             results.extend(
-                self._to_label_list(scores[i], ids[i])[:k] for i in range(len(part))
+                self._to_label_list(scores[i], ids[i])[:k] for i in range(n)
             )
         return results
 
