@@ -661,7 +661,12 @@ class AdaptiveClassifier:
         def adamw_apply(p, g, o, lr_):
             return training.adamw_update(p, g, o, lr_)
 
-        rng = np.random.default_rng(42)
+        # derive the shuffle seed from the classifier's threaded PRNG stream:
+        # reproducible per run, but distinct across successive invocations
+        # (a fixed seed here replayed identical batch permutations every call)
+        seed = int(np.asarray(jax.random.randint(
+            self._next_key(), (), 0, np.iinfo(np.int32).max)))
+        rng = np.random.default_rng(seed)
         for _ in range(5):
             order = rng.permutation(n)
             for s in range(0, n, bs):

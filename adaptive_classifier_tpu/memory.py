@@ -96,19 +96,19 @@ def add_batch(state: MemoryState, emb: jax.Array, cls: jax.Array) -> MemoryState
     so within-call order matches the reference's sequential appends
     (classifier.py:156-158).
     """
-    B = emb.shape[0]
+    C = state.emb.shape[0]
     valid = cls >= 0
-    safe_cls = jnp.where(valid, cls, 0)
+    # padding rows scatter to out-of-bounds class C: JAX drops out-of-bounds
+    # updates (scatter mode "drop"), so they can never collide with a valid
+    # row's slot regardless of XLA scatter ordering
+    safe_cls = jnp.where(valid, cls, C)
     # rank of each item within its class inside this batch
     same = (cls[None, :] == cls[:, None]) & valid[None, :] & valid[:, None]
     earlier = jnp.tril(same, k=-1)
     rank = jnp.sum(earlier, axis=1)
-    pos = state.count[safe_cls] + rank
+    pos = state.count[jnp.where(valid, cls, 0)] + rank
     pos = jnp.clip(pos, 0, state.example_capacity - 1)
-    # scatter only valid rows: route padding to a dummy slot then restore
-    new_emb = state.emb.at[safe_cls, pos].set(
-        jnp.where(valid[:, None], emb, state.emb[safe_cls, pos])
-    )
+    new_emb = state.emb.at[safe_cls, pos].set(emb)
     adds = jnp.zeros_like(state.count).at[safe_cls].add(valid.astype(jnp.int32))
     new_count = jnp.minimum(state.count + adds, state.example_capacity)
     state = state.replace(emb=new_emb, count=new_count)
@@ -292,10 +292,14 @@ class PrototypeMemory:
         max_ex = max_ex if max_ex is not None else self.config.max_examples_per_class
         self.state, order = prune(self.state, max_ex)
         order_np = np.asarray(order)
+        # the jitted prune distance-sorts EVERY class's device rows, not just
+        # overflowing ones — realign every stored text list to the new order
+        # so text↔embedding pairing survives (bug fix: under-capacity classes
+        # previously kept insertion order while device rows were reordered)
         for label, slot in self.label_to_index.items():
             ts = self.texts[label]
-            if len(ts) > max_ex:
-                keep = order_np[slot, :max_ex]
+            if ts:
+                keep = order_np[slot, : min(len(ts), max_ex)]
                 self.texts[label] = [ts[i] for i in keep if i < len(ts)]
 
     def clear(self):
@@ -340,10 +344,17 @@ class PrototypeMemory:
         scores, idx = knn.topk_scores(sims, self.state.valid, k)
         scores = np.asarray(scores[0])
         idx = np.asarray(idx[0])
+        # min_similarity thresholds the RAW exp(−d²) similarity (the scale the
+        # parameter is named for), not the post-softmax score — the softmaxed
+        # scores sum to 1 over k and are returned as before.  (The reference
+        # accepts this parameter but never applies it, memory.py:85-136; we
+        # implement it with raw-similarity semantics and document the
+        # deviation in docs/PARITY.md.)
+        raw = np.asarray(sims[0])
         results = []
         for i, s in zip(idx, scores):
             if i >= 0:
-                if min_similarity is not None and s < min_similarity:
+                if min_similarity is not None and raw[int(i)] < min_similarity:
                     continue
                 results.append((self.index_to_label[int(i)], float(s)))
         return results

@@ -477,12 +477,12 @@ class Encoder:
         if ckpt is not None:
             self.config = _read_hf_config(ckpt)
             self.params = _map_hf_weights(_load_state_dict(ckpt), self.config)
-            self.tokenizer = None
-            if self.config.arch == "modernbert":
-                # BPE tokenizer.json → Rust tokenizers runtime adapter
-                from .hf_tokenizer_adapter import try_load_hf_tokenizer
+            # non-WordPiece tokenizer.json (ModernBERT's BPE, any checkpoint
+            # shipping byte-level BPE) → Rust tokenizers runtime adapter;
+            # returns None for WordPiece files, which stay first-party
+            from .hf_tokenizer_adapter import try_load_hf_tokenizer
 
-                self.tokenizer = try_load_hf_tokenizer(str(ckpt))
+            self.tokenizer = try_load_hf_tokenizer(str(ckpt))
             if self.tokenizer is None:
                 try:
                     self.tokenizer = WordPieceTokenizer.from_pretrained(str(ckpt))

@@ -88,7 +88,15 @@ def encoder_forward_int8(
     B, S = input_ids.shape
     emb = qparams["embeddings"]
     h = emb["word"][input_ids]
-    h = h + emb["position"][jnp.arange(S)][None, :, :]
+    if cfg.arch == "roberta":
+        # RoBERTa position ids (same as the float path, encoder.py:210-216):
+        # pad positions read row pad_id, real tokens cumsum(mask) + pad_id
+        pad = cfg.pad_token_id
+        mask_i = (input_ids != pad).astype(jnp.int32)
+        pos_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
+        h = h + emb["position"][pos_ids]
+    else:
+        h = h + emb["position"][jnp.arange(S)][None, :, :]
     if cfg.type_vocab_size > 0:
         h = h + emb["token_type"][0][None, None, :]
     h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)

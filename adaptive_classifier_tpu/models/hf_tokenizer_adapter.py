@@ -77,12 +77,18 @@ class HFTokenizerAdapter:
         max_length: int = 512,
         pad_to_multiple_of: Optional[int] = None,
         pad_to_length: Optional[int] = None,
+        pad_to_buckets: Optional[Sequence[int]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         encoded = [self.encode(t, max_length=max_length) for t in texts]
         longest = max(len(e) for e in encoded)
         if pad_to_length is not None:
             longest = max(longest, pad_to_length)
-        if pad_to_multiple_of:
+        if pad_to_buckets:
+            for b in sorted(pad_to_buckets):
+                if longest <= b:
+                    longest = b
+                    break
+        elif pad_to_multiple_of:
             m = pad_to_multiple_of
             longest = ((longest + m - 1) // m) * m
         longest = min(max(longest, 8), max(max_length, 8))

@@ -33,7 +33,10 @@ def make_sharded_topk(mesh: Mesh, k: int):
         # q: [B, D] replicated; p_local: [C/ntp, D]; valid_local: [C/ntp]
         C_local = p_local.shape[0]
         sims = knn.masked_sims_ref(q, p_local, valid_local)      # [B, C/ntp]
-        neg = jnp.where(valid_local[None, :], sims, -jnp.inf)
+        # finite -1e9 sentinels (not -inf) keep the softmax NaN-free when a
+        # shard — or every shard — has no valid prototypes (same convention
+        # as the single-chip ops/knn.py:158-166)
+        neg = jnp.where(valid_local[None, :], sims, -1e9)
         kk = min(k, C_local)
         vals, idx = jax.lax.top_k(neg, kk)                       # [B, kk]
         shard = jax.lax.axis_index("tp")
@@ -47,11 +50,10 @@ def make_sharded_topk(mesh: Mesh, k: int):
         top_vals, top_pos = jax.lax.top_k(cand_vals, k)          # [B, k]
         top_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
         # softmax over the selected k (memory.py:127-134 semantics)
-        finite = jnp.isfinite(top_vals)
-        logits = jnp.where(finite, top_vals, -jnp.inf)
-        scores = jax.nn.softmax(logits, axis=-1)
-        scores = jnp.where(finite, scores, 0.0)
-        top_idx = jnp.where(finite, top_idx, -1)
+        in_range = top_vals > -1e8
+        scores = jax.nn.softmax(jnp.where(in_range, top_vals, -1e9), axis=-1)
+        scores = jnp.where(in_range, scores, 0.0)
+        top_idx = jnp.where(in_range, top_idx, -1)
         return scores, top_idx
 
     shmapped = jax.shard_map(

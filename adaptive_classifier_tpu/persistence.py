@@ -146,7 +146,12 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
     clf.train_steps = config_dict["train_steps"]
     clf.training_history = dict(config_dict.get("training_history", {}))
 
-    tensors = load_file(str(model_path / "model.safetensors"))
+    tensors_path = model_path / "model.safetensors"
+    if not tensors_path.exists() and (model_path / "tensors.safetensors").exists():
+        # pre-rename legacy layout (reference scripts/adaptive_router/ ships
+        # one: config.json with embedded examples + tensors.safetensors)
+        tensors_path = model_path / "tensors.safetensors"
+    tensors = load_file(str(tensors_path))
 
     # restore examples + exact saved prototypes (classifier.py:879-895)
     for label in clf.label_to_id:
@@ -180,25 +185,36 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
     return clf
 
 
-def from_pretrained(cls, model_id: str, device: Optional[str] = None, **kwargs):
-    """Local directory, or HuggingFace Hub download when available."""
+def from_pretrained(cls, model_id: str, device: Optional[str] = None,
+                    download_fn=None, **kwargs):
+    """Local directory, or HuggingFace Hub download when available.
+
+    ``download_fn(repo_id=..., filename=..., **opts) -> local path`` defaults
+    to ``huggingface_hub.hf_hub_download``; injectable so the Hub path is
+    unit-testable offline (reference analog: classifier.py:680-760).
+    """
     path = Path(model_id)
     if path.is_dir() and (path / "config.json").exists():
         return load_classifier(cls, path, device=device)
+    if download_fn is None:
+        try:
+            from huggingface_hub import hf_hub_download as download_fn
+        except ImportError as e:
+            raise ValueError(f"Error loading model from {model_id}: {e}")
+    opts = {
+        k: v for k, v in kwargs.items()
+        if k in ("revision", "cache_dir", "force_download", "token", "local_files_only")
+    }
     try:
-        from huggingface_hub import hf_hub_download
-    except ImportError as e:
-        raise ValueError(f"Error loading model from {model_id}: {e}")
-    try:
-        config_file = hf_hub_download(repo_id=model_id, filename="config.json", **{
-            k: v for k, v in kwargs.items()
-            if k in ("revision", "cache_dir", "force_download", "token", "local_files_only")
-        })
+        config_file = download_fn(repo_id=model_id, filename="config.json", **opts)
         for fname in ("examples.json", "model.safetensors"):
-            hf_hub_download(repo_id=model_id, filename=fname, **{
-                k: v for k, v in kwargs.items()
-                if k in ("revision", "cache_dir", "force_download", "token", "local_files_only")
-            })
+            try:
+                download_fn(repo_id=model_id, filename=fname, **opts)
+            except Exception:
+                # examples.json is absent in the legacy config-embedded
+                # layout; model.safetensors absence fails below at load
+                if fname == "model.safetensors":
+                    raise
         return load_classifier(cls, Path(os.path.dirname(config_file)), device=device)
     except Exception as e:
         raise ValueError(f"Error loading model from {model_id}: {e}")

@@ -143,6 +143,33 @@ class TestBPEAdapter:
         assert ids[0, 0] == adapter.cls_id
         assert (mask.sum(axis=1) > 2).all()
 
+    def test_bpe_adapter_pad_to_buckets(self, tmp_path):
+        """The adapter accepts pad_to_buckets (both call sites —
+        classifier._tokenize_chunk and Encoder.embed — pass SEQ_BUCKETS;
+        a ModernBERT/BPE checkpoint must not TypeError on first embed)."""
+        pytest.importorskip("tokenizers")
+        from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+        tok = Tokenizer(models.BPE(unk_token="[UNK]"))
+        tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+        trainer = trainers.BpeTrainer(
+            vocab_size=300, special_tokens=["[PAD]", "[UNK]", "[CLS]", "[SEP]"]
+        )
+        tok.train_from_iterator(["hello world", "bucket pad test"] * 20, trainer)
+        tok.save(str(tmp_path / "tokenizer.json"))
+
+        from adaptive_classifier_tpu.models.hf_tokenizer_adapter import (
+            try_load_hf_tokenizer,
+        )
+
+        adapter = try_load_hf_tokenizer(str(tmp_path))
+        ids, mask = adapter(
+            ["hello world", "hi"], max_length=512, pad_to_buckets=(32, 64, 128)
+        )
+        assert ids.shape[1] == 32  # shortest bucket covering the batch
+        ids2, _ = adapter(["x " * 50], max_length=512, pad_to_buckets=(32, 64, 128))
+        assert ids2.shape[1] in (64, 128)
+
     def test_wordpiece_json_not_hijacked(self, tmp_path):
         """WordPiece tokenizer.json files stay on the first-party path."""
         import json

@@ -41,6 +41,31 @@ def test_int8_embedding_cosine_parity():
     assert (cos > 0.99).all(), cos
 
 
+def test_int8_roberta_position_ids_match_float_path():
+    """RoBERTa + int8 uses cumsum(mask)+pad position ids like the float
+    path (encoder.py:210-216) — pad rows must not read position rows 0/1."""
+    cfg = EncoderConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                        num_heads=4, intermediate_size=128,
+                        max_position_embeddings=80, arch="roberta",
+                        pad_token_id=1)
+    params = init_params(0, cfg)
+    qparams = quantize_encoder_for_inference(params)
+    r = np.random.default_rng(3)
+    B, S = 4, 24
+    ids = np.asarray(r.integers(2, 500, (B, S)), np.int32)
+    lens = [24, 16, 9, 20]
+    mask = np.zeros((B, S), np.int32)
+    for i, n in enumerate(lens):
+        ids[i, n:] = 1  # pad_token_id
+        mask[i, :n] = 1
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    full = np.asarray(embed_texts_device(params, ids, mask, cfg, jnp.float32))
+    quant = np.asarray(embed_texts_device_int8(qparams, ids, mask, cfg, jnp.float32))
+    cos = (full * quant).sum(axis=1)
+    assert (cos > 0.99).all(), cos
+
+
 def test_int8_classification_top1_parity():
     """Top-1 class agreement through the kNN path (the reference accepts
     quantized backends when top-1 matches and scores drift < 0.05)."""

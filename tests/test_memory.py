@@ -216,13 +216,18 @@ def test_strategic_prototypes_in_memory():
 
 
 def test_min_similarity_filter():
-    """get_nearest_prototypes(min_similarity=...) drops low-score neighbors
-    (reference memory.py:85-96 signature)."""
+    """get_nearest_prototypes(min_similarity=...) thresholds the RAW
+    exp(−d²) similarity, not the post-softmax score (reference memory.py:85-96
+    accepts the parameter but never applies it; we implement raw-similarity
+    semantics — see docs/PARITY.md)."""
     mem = PrototypeMemory(DIM, cfg())
     for label, seed in [("a", 1), ("b", 2), ("c", 3)]:
         mem.add_example(Example(f"x{seed}", label, vec(seed)), label)
     all_res = mem.get_nearest_prototypes(vec(1), k=3)
-    thresh = all_res[1][1] + 1e-6  # keep only the top neighbor
-    filtered = mem.get_nearest_prototypes(vec(1), k=3, min_similarity=thresh)
-    assert len(filtered) < len(all_res)
-    assert filtered[0][0] == all_res[0][0]
+    assert len(all_res) == 3
+    # query == class-a prototype exactly → raw sim exp(0) = 1.0 for "a";
+    # random unit vectors put every other class's raw sim well below 0.999
+    filtered = mem.get_nearest_prototypes(vec(1), k=3, min_similarity=0.999)
+    assert [lbl for lbl, _ in filtered] == ["a"]
+    # threshold above 1.0 removes everything
+    assert mem.get_nearest_prototypes(vec(1), k=3, min_similarity=1.5) == []

@@ -144,3 +144,35 @@ def test_from_pretrained_local_dir(saved):
     clf, path = saved
     clf2 = AdaptiveClassifier.from_pretrained(str(path))
     assert clf2.label_to_id == clf.label_to_id
+
+
+def test_from_pretrained_hub_path_with_injected_downloader(saved, tmp_path):
+    """The Hub-download path (reference classifier.py:680-760) exercised
+    offline via an injected downloader: files are 'fetched' one by one into
+    a cache dir, and the classifier loads from there."""
+    clf, path = saved
+    cache = tmp_path / "hub_cache"
+    cache.mkdir()
+    fetched = []
+
+    def fake_download(repo_id, filename, **kw):
+        fetched.append((repo_id, filename))
+        src = Path(path) / filename
+        if not src.exists():
+            raise FileNotFoundError(filename)
+        dst = cache / filename
+        dst.write_bytes(src.read_bytes())
+        return str(dst)
+
+    clf2 = AdaptiveClassifier.from_pretrained(
+        "someorg/somerepo", download_fn=fake_download
+    )
+    assert clf2.label_to_id == clf.label_to_id
+    assert ("someorg/somerepo", "config.json") in fetched
+    assert ("someorg/somerepo", "model.safetensors") in fetched
+    # a failing download surfaces as ValueError (reference classifier.py:761-762)
+    def always_fail(repo_id, filename, **kw):
+        raise ConnectionError("offline")
+
+    with pytest.raises(ValueError):
+        AdaptiveClassifier.from_pretrained("org/missing", download_fn=always_fail)

@@ -125,6 +125,32 @@ def test_reference_checkpoint_predicts_and_continues(tmp_path):
     assert clf.label_to_id["class_new"] == 3
 
 
+ROUTER_DIR = Path("/root/reference/scripts/adaptive_router")
+
+
+@pytest.mark.skipif(not ROUTER_DIR.exists(), reason="reference artifact absent")
+def test_real_trained_router_checkpoint_loads_and_predicts():
+    """Load the REAL trained llm-router checkpoint the reference ships
+    (scripts/adaptive_router/: legacy config-embedded-examples layout,
+    ``tensors.safetensors``, real distilbert-base-cased embeddings and a
+    trained 768→768→384→2 head).  Every stored example's real embedding must
+    classify to its own label through the full proto+head fusion path — a
+    real-data correctness check, no synthetic embeddings anywhere."""
+    clf = AdaptiveClassifier.load(str(ROUTER_DIR))
+    assert set(clf.label_to_id) == {"HIGH", "LOW"}
+    assert clf.head_params is not None
+    correct = total = 0
+    for label, exs in clf.memory.examples.items():
+        for ex in exs:
+            preds = clf._predict_from_embedding(
+                np.asarray(ex.embedding, np.float32), k=2
+            )
+            total += 1
+            correct += preds[0][0] == label
+    assert total == 10
+    assert correct >= 8, f"only {correct}/{total} self-consistent"
+
+
 def test_our_save_matches_reference_file_contract(tmp_path):
     """Our save output satisfies the structural contract the reference's
     loader expects (classifier.py:630-915): file names, tensor names in
