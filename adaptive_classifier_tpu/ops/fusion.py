@@ -57,6 +57,41 @@ def fuse_full(
     return jnp.where(in_range, vals, 0.0), jnp.where(in_range, idx, -1)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "has_head", "pallas_min_classes")
+)
+def fuse_topk_from_emb(
+    emb: jax.Array,           # [B, D] normalized embeddings (on device)
+    proto: jax.Array,         # [C, D] prototypes
+    proto_valid: jax.Array,   # [C] bool
+    head_params,              # HeadParams or None
+    active: jax.Array,        # [C] bool
+    proto_weight: float,
+    head_weight: float,
+    k: int,
+    has_head: bool,
+    pallas_min_classes: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """kNN sims + head forward + top-k fusion as ONE device program.
+
+    Serving hot path: collapsing the three dispatches (sims, logits, fuse)
+    into a single executable matters on tunneled TPUs where each launch has
+    multi-ms host RTT; it also lets XLA fuse the [B,C] intermediates so they
+    never round-trip HBM.  Semantics identical to
+    ``fuse_topk(masked_sims(...), head_forward(...), ...)``.
+    """
+    from ..models import head as head_lib
+
+    sims = knn.masked_sims(emb, proto, proto_valid,
+                           pallas_min_classes=pallas_min_classes)
+    if has_head:
+        logits = head_lib.head_forward(head_params, emb, train=False)
+    else:
+        logits = jnp.zeros_like(sims)
+    return fuse_topk(sims, logits, proto_valid, active,
+                     proto_weight, head_weight, k, has_head)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "has_head"))
 def fuse_topk(
     sims: jax.Array,

@@ -1,9 +1,12 @@
 """End-to-end throughput benchmark — the north-star metric (BASELINE.md).
 
-Measures predictions/sec/chip through the full device pipeline
-(embed → kNN → head → fusion) on a bert-base-size encoder, the same model
-class as the reference's headline ONNX number (bert-base-uncased, 2.1 ms/query
-on CPU = ~476 predictions/sec, reference README.md:256-261).
+Measures predictions/sec/chip through the REAL public serving path —
+``AdaptiveClassifier.predict_batch``: host tokenization → encoder forward →
+kNN → head → fusion, on a bert-base-size encoder.  This is apples-to-apples
+with the reference's headline ONNX number (bert-base-uncased, 2.1 ms/query on
+CPU *including* tokenization = ~476 predictions/sec, reference
+README.md:256-261).  Queries are unique (no cache hits): every prediction
+pays tokenize + embed + fuse.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,7 +18,7 @@ import time
 
 import numpy as np
 
-BASELINE_QPS = 1000.0 / 2.1  # reference ONNX CPU path: 2.1 ms/query
+BASELINE_QPS = 1000.0 / 2.1  # reference ONNX CPU path: 2.1 ms/query incl. tokenization
 
 
 def main():
@@ -28,72 +31,48 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    import jax.numpy as jnp
 
-    from adaptive_classifier_tpu.models.encoder import (
-        EncoderConfig, embed_texts_device, init_params_on_device,
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    # flagship: bert-base dims (the reference's benchmark model), Banking77-
+    # scale class count
+    clf = AdaptiveClassifier("bert-base-uncased", config={
+        "train_size_buckets": [256],
+        "class_capacity_buckets": [128],
+        "example_capacity_buckets": [32],
+    })
+    labels = [f"intent_{i}" for i in range(77)]
+    clf.add_examples(
+        [f"please route my {l} request to the correct team" for l in labels] * 2,
+        labels * 2,
     )
-    from adaptive_classifier_tpu.models import head as head_lib
-    from adaptive_classifier_tpu.ops import knn, fusion
 
-    # flagship: bert-base dims (the reference's benchmark model);
-    # params materialize directly in HBM (no 340MB host transfer)
-    cfg = EncoderConfig(vocab_size=30522)
-    enc_params = init_params_on_device(0, cfg)
-
-    # Banking77-scale class setup: 77 active classes in a 128-slot buffer
-    C_cap, n_active, k = 128, 77, 5
-    head_params = head_lib.init_head(
-        jax.random.PRNGKey(42), cfg.hidden_size, C_cap, n_active,
-        hidden_dims=[cfg.hidden_size, cfg.hidden_size // 2],
-    )
-    r = np.random.default_rng(0)
-    protos = jnp.asarray(r.standard_normal((C_cap, cfg.hidden_size)), jnp.float32)
-    protos = protos / jnp.linalg.norm(protos, axis=1, keepdims=True)
-    valid = jnp.arange(C_cap) < n_active
-    active = jnp.arange(C_cap) < n_active
-    pw = jnp.full((C_cap,), 0.7)
-    hw = jnp.full((C_cap,), 0.3)
-
-    B, S = 256, 64  # short-query regime, batched
-    iters = 40
-    attention_mask = jnp.ones((B, S), jnp.int32)
-
-    # Measurement protocol: distinct pre-staged inputs per iteration; each
-    # dispatch runs the full pipeline AND folds its outputs into a chained
-    # device-side accumulator (so no result can be skipped or cached), with
-    # ONE host sync at the end — chip throughput, not per-batch RTT.
-    # Parameters are arguments, never jit-captured constants (a captured
-    # 340MB weight pytree gets serialized into the program).
-    @jax.jit
-    def pipeline_step(acc, ep, hp, pr, input_ids):
-        emb = embed_texts_device(ep, input_ids, attention_mask, cfg, jnp.bfloat16)
-        sims = knn.masked_sims(emb, pr, valid)
-        logits = head_lib.head_forward(hp, emb, train=False)
-        scores, idx = fusion.fuse_full(sims, logits, valid, active, pw, hw, k, True)
-        acc = acc + jnp.sum(scores) + jnp.sum(idx).astype(jnp.float32)
-        return acc, scores, idx
-
-    batches = [
-        jnp.asarray(r.integers(0, 30000, (B, S)), jnp.int32) for _ in range(iters)
+    # realistic short queries, all unique → all cache misses, full pipeline
+    stems = [
+        "what is the exchange rate applied when i pay abroad with this card",
+        "my transfer has not arrived yet please help me find where it went",
+        "i want to increase the spending limit on my account starting today",
+        "the app declined my payment at the store this morning for no reason",
     ]
-    acc = jnp.zeros(())
-    acc, scores, idx = pipeline_step(acc, enc_params, head_params, protos, batches[0])
-    np.asarray(scores)  # warmup / compile
+    n_queries = 4096
+    queries = [stems[i % len(stems)] + f" case {i}" for i in range(n_queries)]
 
-    acc = jnp.zeros(())
+    # warmup compiles every bucket shape on a disjoint query set
+    clf.predict_batch([s + f" warm {i}" for i, s in enumerate(stems * 128)], k=5)
+    if getattr(clf, "_dev_cache", None) is not None:
+        clf._dev_cache.clear()
+
     t0 = time.perf_counter()
-    for i in range(iters):
-        acc, scores, idx = pipeline_step(acc, enc_params, head_params, protos,
-                                         batches[i])
-    assert np.isfinite(float(acc))  # one host sync forces the full chain
+    results = clf.predict_batch(queries, k=5)
     dt = time.perf_counter() - t0
+    assert len(results) == n_queries and all(r for r in results)
 
-    qps = B * iters / dt
+    qps = n_queries / dt
     print(json.dumps({
         "metric": "end_to_end_predictions_per_sec_per_chip",
         "value": round(qps, 1),
-        "unit": "predictions/sec (embed+kNN+head, bert-base dims, S=64, B=256)",
+        "unit": "predictions/sec incl. host tokenization "
+                "(predict_batch, bert-base dims, 77 classes, unique queries)",
         "vs_baseline": round(qps / BASELINE_QPS, 2),
     }))
 
