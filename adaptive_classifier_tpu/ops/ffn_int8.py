@@ -1,0 +1,162 @@
+"""Fused int8 FFN block kernel — the encoder's dominant compute, one program.
+
+Computes ``LayerNorm(gelu(h @ W1 + b1) @ W2 + b2 + h)`` for a whole
+transformer FFN block in a single Pallas kernel:
+
+- **both matmuls on the int8 MXU** (v5e runs int8×int8→int32 at twice the
+  bf16 rate), with dynamic per-row activation quantization done in VMEM;
+- **the [M, 4D] intermediate never touches HBM** — XLA cannot fuse across
+  two matmuls, so its FFN writes + re-reads ~200MB per bert-base layer at
+  B=256/S=64; here gelu output is quantized in VMEM and fed straight to the
+  second matmul;
+- **residual add + LayerNorm fused as the epilogue** (trace-guided: LN
+  epilogues were 46% of encoder step time in round 1, docs/ROADMAP.md).
+
+Weights are per-output-channel symmetric int8 (same scheme as
+``quantization.py``); they are grid-invariant (index_map ``(0, 0)``) so
+Pallas keeps them resident in VMEM across all M tiles — weight-stationary.
+
+Reference analog: the INT8 dynamic-quantized ONNX path
+(reference classifier.py:1031-1107) — this is its TPU-native form.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+#: tanh-approximation gelu constants (the "gelu_new" form)
+_G0 = np.float32(np.sqrt(2.0 / np.pi))
+_G1 = np.float32(0.044715)
+
+
+def _gelu_tanh(x):
+    """Tanh-approximation gelu.  Mosaic has no erf/erfc lowering; measured
+    on v5e the A&S-polynomial erf costs +0.66ms per bert-base FFN while tanh
+    costs ~0 (it matches the no-gelu ablation), and its ≤1e-3 deviation from
+    exact gelu is far inside the int8 noise floor (block cosine vs the exact
+    float reference stays 0.99996)."""
+    inner = _G0 * (x + _G1 * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(inner))
+
+
+def _ffn_kernel(h_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                g_ref, beta_ref, eps_ref, out_ref):
+    """One M-tile: quantize → int8 matmul → gelu → quantize → int8 matmul →
+    residual + LayerNorm.  Everything lives in VMEM."""
+    h = h_ref[:].astype(jnp.float32)                      # [TM, D]
+
+    # dynamic per-row symmetric int8 quantization of the activations
+    absmax = jnp.maximum(jnp.max(jnp.abs(h), axis=1, keepdims=True), 1e-8)
+    x_scale = absmax / 127.0                              # [TM, 1]
+    x_q = jnp.clip(jnp.round(h / x_scale), -127, 127).astype(jnp.int8)
+
+    acc1 = jax.lax.dot_general(                            # [TM, H] int32
+        x_q, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    ff = acc1.astype(jnp.float32) * x_scale * s1_ref[:] + b1_ref[:]
+    ff = _gelu_tanh(ff)
+
+    fmax = jnp.maximum(jnp.max(jnp.abs(ff), axis=1, keepdims=True), 1e-8)
+    f_scale = fmax / 127.0
+    f_q = jnp.clip(jnp.round(ff / f_scale), -127, 127).astype(jnp.int8)
+
+    acc2 = jax.lax.dot_general(                            # [TM, D] int32
+        f_q, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc2.astype(jnp.float32) * f_scale * s2_ref[:] + b2_ref[:]
+
+    # residual + LayerNorm epilogue (f32 stats)
+    y = y + h
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+    normed = (y - mean) * jax.lax.rsqrt(var + eps_ref[0])
+    out_ref[:] = (normed * g_ref[:] + beta_ref[:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m",))
+def ffn_block_int8(
+    h: jax.Array,          # [M, D] activations (post-attention LN)
+    w1_q: jax.Array,       # [D, H] int8
+    s1: jax.Array,         # [H] f32 per-output-channel scales
+    b1: jax.Array,         # [H]
+    w2_q: jax.Array,       # [H, D] int8
+    s2: jax.Array,         # [D]
+    b2: jax.Array,         # [D]
+    ln_scale: jax.Array,   # [D]
+    ln_bias: jax.Array,    # [D]
+    eps: float | jax.Array,
+    tile_m: int = 256,
+) -> jax.Array:
+    """→ LayerNorm(gelu(h@W1+b1)@W2+b2 + h), same dtype as ``h``."""
+    M, D = h.shape
+    H = w1_q.shape[1]
+    if M % tile_m != 0:
+        # pad rows to the tile grid; padded rows compute garbage that the
+        # caller slices off (cheaper than a second compiled shape)
+        Mp = ((M + tile_m - 1) // tile_m) * tile_m
+        hp = jnp.zeros((Mp, D), h.dtype).at[:M].set(h)
+        return ffn_block_int8(hp, w1_q, s1, b1, w2_q, s2, b2,
+                              ln_scale, ln_bias, eps, tile_m=tile_m)[:M]
+    grid = (M // tile_m,)
+
+    eps_arr = jnp.asarray([eps], jnp.float32)
+    row = lambda v: v.reshape(1, -1).astype(jnp.float32)
+
+    flops = 2 * M * D * H * 2
+    return pl.pallas_call(
+        _ffn_kernel,
+        out_shape=jax.ShapeDtypeStruct((M, D), h.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # weights/scales/biases are grid-invariant → fetched once,
+            # VMEM-resident for the whole grid (weight-stationary)
+            pl.BlockSpec((D, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=M * D * 2 * 2 + D * H * 2 + M * (D + H),
+            transcendentals=M * H,   # gelu erf
+        ),
+    )(h, w1_q, row(s1), row(b1), w2_q, row(s2), row(b2),
+      row(ln_scale), row(ln_bias), eps_arr)
+
+
+def ffn_block_ref(h, w1, b1, w2, b2, ln_scale, ln_bias, eps):
+    """Float reference: LN(gelu(h@W1+b1)@W2+b2 + h) — the jnp oracle the
+    kernel is tested against (analog of the ONNX-vs-PyTorch parity tests,
+    reference tests/test_onnx_phase1.py:68-96)."""
+    h = h.astype(jnp.float32)
+    ff = jax.nn.gelu(h @ w1 + b1, approximate=False)
+    y = ff @ w2 + b2 + h
+    mean = jnp.mean(y, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(y - mean), axis=1, keepdims=True)
+    return (y - mean) * jax.lax.rsqrt(var + eps) * ln_scale + ln_bias
