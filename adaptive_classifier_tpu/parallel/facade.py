@@ -25,11 +25,21 @@ from .mesh import make_mesh, memory_shardings
 
 
 class ShardedPrototypeMemory(PrototypeMemory):
-    """PrototypeMemory whose device state is always tp-sharded on the mesh."""
+    """PrototypeMemory whose device state is always tp-sharded on the mesh.
+
+    Above ``shard_knn_min_classes`` prototype slots, kNN queries route
+    through the explicit shard_map search (parallel/sharded_knn.py):
+    per-shard local top-k, only ``[B, k]`` candidates cross ICI — instead of
+    letting GSPMD all-gather the full ``[B, C]`` similarity row.
+    """
+
+    #: class-capacity threshold for the explicit shard_map kNN path
+    shard_knn_min_classes = 1024
 
     def __init__(self, embedding_dim: int, config=None, mesh: Optional[Mesh] = None):
         self.mesh = mesh  # must exist before base __init__ assigns state
         self._state_sharded: Optional[MemoryState] = None
+        self._sharded_topk = {}  # k → compiled shard_map search
         super().__init__(embedding_dim, config)
 
     @property
@@ -47,6 +57,42 @@ class ShardedPrototypeMemory(PrototypeMemory):
             count=jax.device_put(value.count, specs["count"]),
             proto=jax.device_put(value.proto, specs["proto"]),
         )
+
+    def _use_shard_knn(self) -> bool:
+        if self.mesh is None or "tp" not in self.mesh.shape:
+            return False
+        ntp = self.mesh.shape["tp"]
+        C = self.state.class_capacity
+        return ntp > 1 and C >= self.shard_knn_min_classes and C % ntp == 0
+
+    def get_nearest_prototypes(self, query_embedding, k: int = 5,
+                               min_similarity=None):
+        if not self._use_shard_knn():
+            return super().get_nearest_prototypes(query_embedding, k,
+                                                  min_similarity)
+        import numpy as np
+        import jax.numpy as jnp
+
+        from .sharded_knn import make_sharded_topk
+
+        counts = self._counts_host()
+        n_valid = sum(1 for v in counts.values() if v > 0)
+        if n_valid == 0:
+            return []
+        k = min(k, n_valid)
+        if k not in self._sharded_topk:
+            self._sharded_topk[k] = make_sharded_topk(self.mesh, k)
+        q = jnp.asarray(np.asarray(query_embedding, np.float32)).reshape(1, -1)
+        scores, idx, raw = self._sharded_topk[k](
+            q, self.state.proto, self.state.valid)
+        scores, idx, raw = np.asarray(scores[0]), np.asarray(idx[0]), np.asarray(raw[0])
+        results = []
+        for i, s, r in zip(idx, scores, raw):
+            if i >= 0:
+                if min_similarity is not None and r < min_similarity:
+                    continue
+                results.append((self.index_to_label[int(i)], float(s)))
+        return results
 
 
 class ShardedAdaptiveClassifier(AdaptiveClassifier):

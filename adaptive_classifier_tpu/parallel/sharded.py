@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..memory import MemoryState, recompute_prototypes
+from ..memory import MemoryState, add_batch, recompute_prototypes
 from ..models import head as head_lib
 from ..models.encoder import EncoderConfig, embed_texts_device
 from ..ops import knn, fusion
@@ -79,19 +79,10 @@ def make_sharded_train_step(mesh: Mesh, enc_cfg: EncoderConfig,
         emb = embed_texts_device(enc_params, input_ids, attention_mask,
                                  enc_cfg, compute_dtype)
 
-        # memory append: scatter this batch into the class-sharded buffer
-        mem = state.memory
-        B = emb.shape[0]
-        pos = mem.count[labels]  # one slot per batch row (distinct labels per
-        # row within a batch may collide; the dry-run uses unique positions —
-        # production appends go through memory.add_batch which handles ranks)
-        new_emb_buf = mem.emb.at[labels, jnp.clip(pos, 0, mem.example_capacity - 1)].set(emb)
-        adds = jnp.zeros_like(mem.count).at[labels].add(1)
-        mem = mem.replace(
-            emb=new_emb_buf,
-            count=jnp.minimum(mem.count + adds, mem.example_capacity),
-        )
-        mem = recompute_prototypes(mem)
+        # memory append via the canonical batched transition: within-batch
+        # rank ordering means duplicate labels land in distinct slots (same
+        # semantics as single-chip appends, memory.add_batch)
+        mem = add_batch(state.memory, emb, labels.astype(jnp.int32))
 
         def loss_fn(p):
             logits = head_lib.head_forward(p, emb, train=False)

@@ -24,8 +24,10 @@ from ..ops import knn
 def make_sharded_topk(mesh: Mesh, k: int):
     """Build a jitted sharded top-k search over tp-sharded prototypes.
 
-    Returns ``search(queries [B,D], protos [C,D], valid [C]) → (scores, idx)``
-    with ``protos``/``valid`` sharded over "tp" and results replicated.
+    Returns ``search(queries [B,D], protos [C,D], valid [C]) →
+    (scores, idx, raw)`` with ``protos``/``valid`` sharded over "tp" and
+    results replicated; ``raw`` is the pre-softmax exp(−d²) similarity of
+    each selected neighbor (the scale ``min_similarity`` thresholds).
     """
     ntp = mesh.shape["tp"]
 
@@ -53,14 +55,15 @@ def make_sharded_topk(mesh: Mesh, k: int):
         in_range = top_vals > -1e8
         scores = jax.nn.softmax(jnp.where(in_range, top_vals, -1e9), axis=-1)
         scores = jnp.where(in_range, scores, 0.0)
+        raw = jnp.where(in_range, top_vals, 0.0)
         top_idx = jnp.where(in_range, top_idx, -1)
-        return scores, top_idx
+        return scores, top_idx, raw
 
     shmapped = jax.shard_map(
         local_search,
         mesh=mesh,
         in_specs=(P(), P("tp", None), P("tp")),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(shmapped)

@@ -1,0 +1,277 @@
+"""Pretrain a first-party encoder checkpoint ("ac-tiny") on offline real text.
+
+No network, no downloaded weights: the corpus is real English harvested from
+documentation installed on the machine (site-packages *.md/*.rst/*.txt prose
+plus Python docstrings), the WordPiece vocab is trained here, and the
+encoder pretrains with adaptive_classifier_tpu.pretrain's jitted MLM step on
+the TPU.  Output is a standard HF-layout checkpoint directory that both
+``Encoder(path)`` and ``transformers.BertModel.from_pretrained`` load.
+
+Usage:
+    python scripts/pretrain_encoder.py --out checkpoints/ac-tiny \
+        --steps 60000 --batch 256 --seq 128
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import glob
+import json
+import re
+import sys
+import time
+import unicodedata
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+
+SPECIALS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+
+
+# ---------------------------------------------------------------------------
+# corpus
+# ---------------------------------------------------------------------------
+
+_WORDISH = re.compile(r"[A-Za-z][a-z]+")
+_CODE_HINTS = re.compile(r"[{}<>=_`|\\]|::|def |import |self\.|https?://")
+
+
+def _prose_lines(text: str):
+    """Keep natural-language lines, drop code/tables/markup."""
+    for raw in text.splitlines():
+        line = raw.strip()
+        if len(line) < 30 or len(line) > 600:
+            continue
+        words = _WORDISH.findall(line)
+        if len(words) < 5:
+            continue
+        # prose = mostly lowercase words, few code-ish characters
+        if len(_CODE_HINTS.findall(line)) > 2:
+            continue
+        alpha = sum(len(w) for w in words)
+        if alpha / max(len(line), 1) < 0.55:
+            continue
+        yield line
+
+
+def _docstrings(py_path: str):
+    try:
+        tree = ast.parse(Path(py_path).read_text(encoding="utf-8", errors="ignore"))
+    except Exception:
+        return
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            ds = ast.get_docstring(node)
+            if ds:
+                yield from _prose_lines(ds)
+
+
+def build_corpus(max_mb: float = 60.0, verbose: bool = True) -> list[str]:
+    roots = [p for p in (
+        "/opt/venv/lib/python3.12/site-packages",
+        "/usr/lib/python3/dist-packages",
+        "/usr/share/doc",
+    ) if Path(p).exists()]
+    lines: list[str] = []
+    seen = set()
+    budget = max_mb * 1e6
+
+    def add(it):
+        nonlocal budget
+        for line in it:
+            key = hash(line)
+            if key in seen:
+                continue
+            seen.add(key)
+            lines.append(line)
+            budget -= len(line)
+            if budget <= 0:
+                return False
+        return True
+
+    for root in roots:
+        for pat in ("**/*.md", "**/*.rst", "**/*.txt"):
+            for f in glob.iglob(f"{root}/{pat}", recursive=True):
+                try:
+                    if not add(_prose_lines(Path(f).read_text(encoding="utf-8", errors="ignore"))):
+                        return lines
+                except Exception:
+                    continue
+    if verbose:
+        print(f"prose files done: {len(lines)} lines, budget left {budget/1e6:.1f} MB")
+    for root in roots[:2]:
+        for f in glob.iglob(f"{root}/**/*.py", recursive=True):
+            if not add(_docstrings(f)):
+                return lines
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# vocab
+# ---------------------------------------------------------------------------
+
+def train_vocab(lines: list[str], vocab_size: int) -> list[str]:
+    """WordPiece vocab via the Rust tokenizers trainer when available, else a
+    first-party frequency builder (whole words + character pieces)."""
+    try:
+        from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, trainers
+
+        tok = Tokenizer(models.WordPiece(unk_token="[UNK]"))
+        tok.normalizer = normalizers.Sequence(
+            [normalizers.NFD(), normalizers.Lowercase(), normalizers.StripAccents()]
+        )
+        tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
+        trainer = trainers.WordPieceTrainer(
+            vocab_size=vocab_size, special_tokens=SPECIALS,
+            continuing_subword_prefix="##",
+        )
+        tok.train_from_iterator(lines, trainer)
+        vocab = tok.get_vocab()
+        tokens = [""] * len(vocab)
+        for t, i in vocab.items():
+            tokens[i] = t
+        return tokens
+    except Exception as e:  # pragma: no cover
+        print(f"Rust trainer unavailable ({e}); frequency fallback")
+        counts = Counter()
+        for line in lines:
+            for w in re.findall(r"[a-z]+", line.lower()):
+                counts[w] += 1
+        toks = list(SPECIALS)
+        toks += [chr(c) for c in range(ord("a"), ord("z") + 1)]
+        toks += ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+        toks += [w for w, _ in counts.most_common(vocab_size - len(toks))]
+        return toks[:vocab_size]
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def pack_examples(lines: list[str], vocab: list[str], seq: int) -> np.ndarray:
+    """Tokenize with the first-party WordPiece and pack sentences densely
+    into [N, seq] rows: [CLS] s1 [SEP] s2 [SEP] ... padded with [PAD]."""
+    from adaptive_classifier_tpu.models.tokenizer import WordPieceTokenizer
+
+    wp = WordPieceTokenizer({t: i for i, t in enumerate(vocab)}, do_lower_case=True)
+    native = wp._get_native()
+    rows = []
+    cur = [wp.cls_id]
+    t0 = time.time()
+    for i, line in enumerate(lines):
+        if native is not None and line.isascii():
+            ids = native.encode(line, 10_000)[1:-1].tolist()
+        else:
+            ids = wp.encode(line, max_length=10_000)[1:-1]
+        pos = 0
+        while pos < len(ids):
+            space = seq - len(cur) - 1
+            if space <= 0:
+                rows.append(cur + [wp.pad_id] * (seq - len(cur)))
+                cur = [wp.cls_id]
+                space = seq - 2
+            take = ids[pos : pos + space]
+            cur += take + [wp.sep_id]
+            pos += len(take)
+        if len(cur) >= seq - 8:
+            rows.append((cur + [wp.pad_id] * seq)[:seq])
+            cur = [wp.cls_id]
+        if i % 200_000 == 0:
+            print(f"  packed {i}/{len(lines)} lines → {len(rows)} rows "
+                  f"({time.time()-t0:.0f}s)")
+    return np.asarray(rows, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# main
+# ---------------------------------------------------------------------------
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="checkpoints/ac-tiny")
+    ap.add_argument("--steps", type=int, default=60_000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--vocab-size", type=int, default=8192)
+    ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--heads", type=int, default=2)
+    ap.add_argument("--intermediate", type=int, default=512)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--corpus-mb", type=float, default=60.0)
+    ap.add_argument("--corpus-cache", default="/tmp/ac_corpus.npz")
+    ap.add_argument("--checkpoint-every", type=int, default=5000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+    from adaptive_classifier_tpu.models.encoder import EncoderConfig
+    from adaptive_classifier_tpu import pretrain, training
+
+    cache = Path(args.corpus_cache)
+    if cache.exists():
+        blob = np.load(cache, allow_pickle=True)
+        packed, vocab = blob["packed"], list(blob["vocab"])
+        print(f"corpus cache: {packed.shape} rows, vocab {len(vocab)}")
+    else:
+        print("building corpus…")
+        lines = build_corpus(args.corpus_mb)
+        print(f"corpus: {len(lines)} lines, {sum(map(len, lines))/1e6:.1f} MB")
+        vocab = train_vocab(lines, args.vocab_size)
+        print(f"vocab: {len(vocab)} tokens")
+        packed = pack_examples(lines, vocab, args.seq)
+        print(f"packed: {packed.shape}")
+        np.savez_compressed(cache, packed=packed, vocab=np.asarray(vocab, object))
+
+    cfg = EncoderConfig(
+        vocab_size=len(vocab), hidden_size=args.hidden, num_layers=args.layers,
+        num_heads=args.heads, intermediate_size=args.intermediate,
+        max_position_embeddings=max(args.seq, 512),
+    )
+    mask_id = vocab.index("[MASK]")
+    params = pretrain.init_params(0, cfg)
+    mlm = pretrain.init_mlm(0, cfg)
+    opt = training.adamw_init({"enc": params, "mlm": mlm})
+    key = jax.random.PRNGKey(0)
+
+    N = packed.shape[0]
+    ids_dev = jnp.asarray(packed)
+    attn = (packed != 0).astype(np.int32)
+    attn_dev = jnp.asarray(attn)
+    rng = np.random.default_rng(0)
+    out_dir = Path(args.out)
+
+    print(f"training {args.steps} steps, batch {args.batch}, seq {args.seq}, "
+          f"{N} packed rows")
+    t0 = time.time()
+    losses = []
+    for step in range(args.steps):
+        idx = jnp.asarray(rng.integers(0, N, args.batch))
+        key, sub = jax.random.split(key)
+        params, mlm, opt, loss = pretrain.train_step(
+            params, mlm, opt, ids_dev[idx], attn_dev[idx], sub, cfg,
+            mask_id, lr_peak=args.lr, warmup=2000, total_steps=args.steps,
+        )
+        if step % 200 == 0:
+            lv = float(loss)
+            losses.append((step, lv))
+            print(f"step {step:6d}  loss {lv:.4f}  "
+                  f"({(time.time()-t0):.0f}s)", flush=True)
+        if step and step % args.checkpoint_every == 0:
+            pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab,
+                                        extra_config={"ac_tiny_step": step})
+            (out_dir / "loss_log.json").write_text(json.dumps(losses))
+
+    pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab,
+                                extra_config={"ac_tiny_step": args.steps})
+    (out_dir / "loss_log.json").write_text(json.dumps(losses))
+    print(f"saved {out_dir}; final loss {losses[-1][1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,11 +131,14 @@ def test_sharded_topk_matches_single_device(mesh):
 
     search = make_sharded_topk(mesh, k)
     p_sh, v_sh = shard_prototypes(mesh, jnp.asarray(p), jnp.asarray(valid))
-    got_scores, got_idx = search(jnp.asarray(q), p_sh, v_sh)
+    got_scores, got_idx, got_raw = search(jnp.asarray(q), p_sh, v_sh)
 
     np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(exp_idx))
     np.testing.assert_allclose(np.asarray(got_scores), np.asarray(exp_scores),
                                rtol=1e-5, atol=1e-6)
+    # raw channel carries pre-softmax exp(-d^2) similarities in (0, 1]
+    raw = np.asarray(got_raw)
+    assert ((raw > 0) & (raw <= 1.0 + 1e-6)).all()
 
 
 def test_sharded_topk_fewer_valid_than_k(mesh):
@@ -150,7 +153,7 @@ def test_sharded_topk_fewer_valid_than_k(mesh):
     valid = np.arange(C) < 3  # fewer valid than k
     search = make_sharded_topk(mesh, k)
     p_sh, v_sh = shard_prototypes(mesh, jnp.asarray(p), jnp.asarray(valid))
-    scores, idx = search(jnp.asarray(q), p_sh, v_sh)
+    scores, idx, _ = search(jnp.asarray(q), p_sh, v_sh)
     scores, idx = np.asarray(scores), np.asarray(idx)
     assert (idx[:, 3:] == -1).all()
     assert np.allclose(scores.sum(axis=1), 1.0, atol=1e-5)
@@ -228,3 +231,36 @@ def test_multihost_noop_on_single_host(monkeypatch):
     assert multihost.initialize_distributed() is False
     m = multihost.global_mesh()
     assert int(np.prod(m.devices.shape)) == len(jax.devices())
+
+
+def test_facade_shard_knn_path_at_large_C(mesh):
+    """ShardedPrototypeMemory routes get_nearest_prototypes through the
+    explicit shard_map search above shard_knn_min_classes, with results
+    matching the base (GSPMD) implementation."""
+    from adaptive_classifier_tpu import ModelConfig
+    from adaptive_classifier_tpu.config import Example
+    from adaptive_classifier_tpu.parallel.facade import ShardedPrototypeMemory
+
+    D = 32
+    cfg = ModelConfig({
+        "class_capacity_buckets": [1024],
+        "example_capacity_buckets": [4],
+        "max_examples_per_class": 4,
+    })
+    mem = ShardedPrototypeMemory(D, config=cfg, mesh=mesh)
+    r = np.random.default_rng(3)
+    for i in range(12):
+        v = r.standard_normal(D).astype(np.float32)
+        v /= np.linalg.norm(v)
+        mem.add_example(Example(f"t{i}", f"label_{i:02d}", v), f"label_{i:02d}")
+    assert mem.state.class_capacity == 1024
+    assert mem._use_shard_knn()
+    q = r.standard_normal(D).astype(np.float32)
+    got = mem.get_nearest_prototypes(q, k=5)
+    # base implementation (GSPMD path) on the same state
+    base = ShardedPrototypeMemory.__mro__[1].get_nearest_prototypes(mem, q, k=5)
+    assert [l for l, _ in got] == [l for l, _ in base]
+    np.testing.assert_allclose([s for _, s in got], [s for _, s in base],
+                               rtol=1e-5, atol=1e-6)
+    # min_similarity thresholds the raw exp(-d^2) channel
+    assert mem.get_nearest_prototypes(q, k=5, min_similarity=1.5) == []
