@@ -1,0 +1,141 @@
+"""Run the full real-data quality-evaluation suite and write EVAL JSON.
+
+Covers the reference's published quality axes (BASELINE.md / README.md) on
+the frozen real-English datasets in data/ with a real-weight encoder
+checkpoint (checkpoints/ac-tiny, pretrained offline by
+scripts/pretrain_encoder.py):
+
+1. strategic robustness   (reference: adv_glue/adv_sst2, README.md:56-60 —
+   regular 80%→60% under attack vs strategic 82.22% clean AND adversarial)
+2. llm-router cost savings with adaptation (reference: arena-hard 25.6%→
+   32.4%, README.md:74-79)
+3. hallucination detection F1 (reference: RAGTruth F1 51.54%, README.md:70)
+4. new-class accuracy preservation (reference: issue #53 regression,
+   tests/test_new_class_accuracy_preservation.py — ≤10% relative drop)
+
+Usage:
+    python scripts/eval_real_suite.py [--model checkpoints/ac-tiny] \
+        [--out EVAL_r02.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_json(script: str, args: list[str], out_file: Path) -> dict:
+    cmd = [sys.executable, str(REPO / "scripts" / script),
+           "--json-out", str(out_file)] + args
+    print("::", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+    return json.loads(out_file.read_text())
+
+
+def eval_new_class_preservation(model: str) -> dict:
+    """Issue-53 regression on real text: train 10 intents, add 3 new ones,
+    old-class accuracy must not collapse."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    blob = json.loads((REPO / "data" / "intents.json").read_text())
+    clf = AdaptiveClassifier(model)
+    texts = [t for lbl, rows in blob["train"].items() for t in rows]
+    labels = [lbl for lbl, rows in blob["train"].items() for t in rows]
+    clf.add_examples(texts, labels)
+
+    old_labels = list(blob["train"])
+
+    def acc(label_set):
+        rows = [(t, lbl) for lbl in label_set for t in blob["test"][lbl]]
+        preds = clf.predict_batch([t for t, _ in rows], k=1)
+        return sum(1 for (t, lbl), p in zip(rows, preds)
+                   if p and p[0][0] == lbl) / len(rows)
+
+    before = acc(old_labels)
+    new_texts = [t for lbl, rows in blob["new_classes"].items() for t in rows]
+    new_labels = [lbl for lbl, rows in blob["new_classes"].items() for t in rows]
+    clf.add_examples(new_texts, new_labels)   # incremental EWC path
+    after = acc(old_labels)
+    new_acc = acc(list(blob["new_classes"]))
+    rel_drop = (before - after) / max(before, 1e-9)
+    return {
+        "old_class_acc_before": round(before, 4),
+        "old_class_acc_after": round(after, 4),
+        "relative_drop": round(rel_drop, 4),
+        "new_class_acc": round(new_acc, 4),
+        "n_old_classes": len(old_labels),
+        "n_new_classes": len(blob["new_classes"]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="checkpoints/ac-tiny")
+    ap.add_argument("--out", default="EVAL_r02.json")
+    args = ap.parse_args()
+
+    model = args.model
+    if not Path(model).exists() and (REPO / model).exists():
+        model = str(REPO / model)
+    tmp = REPO / ".eval_tmp"
+    tmp.mkdir(exist_ok=True)
+
+    report = {"model": model, "datasets": "frozen real-English sets in data/"}
+
+    strategic = run_json("eval_strategic.py", ["--model", model],
+                         tmp / "strategic.json")
+    report["strategic"] = {
+        "ours": strategic,
+        "reference_baseline": {
+            "note": "adv_glue/adv_sst2 (README.md:56-60)",
+            "regular_clean": 0.80, "regular_adv": 0.60,
+            "strategic_clean": 0.8222, "strategic_adv": 0.8222,
+            "strategic_robustness_drop": 0.0,
+        },
+    }
+
+    router = run_json("eval_router.py", ["--model", model, "--adapt"],
+                      tmp / "router.json")
+    report["router"] = {
+        "ours": router,
+        "reference_baseline": {
+            "note": "arena-hard 500 queries (README.md:74-79)",
+            "cost_savings_without_pct": 25.6,
+            "cost_savings_with_pct": 32.4,
+            "efficiency_without": 1.00, "efficiency_with": 1.27,
+        },
+    }
+
+    halluc = run_json("train_hallucination_detector.py",
+                      ["--model", model, "--out", str(tmp / "halluc_model")],
+                      tmp / "halluc.json")
+    report["hallucination"] = {
+        "ours": halluc,
+        "reference_baseline": {
+            "note": "RAGTruth overall (README.md:70)",
+            "precision": 0.4089, "recall": 0.8068, "f1": 0.5154,
+        },
+    }
+
+    report["new_class_preservation"] = {
+        "ours": eval_new_class_preservation(model),
+        "reference_baseline": {
+            "note": "issue #53 regression threshold "
+                    "(tests/test_new_class_accuracy_preservation.py:188-198)",
+            "max_relative_drop": 0.10,
+        },
+    }
+
+    out = REPO / args.out
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,18 +3,72 @@
 Reference analog: scripts/eval_strategic_classifier_adv_glue.py — compares a
 regular classifier vs a strategic-mode classifier on clean and adversarial
 inputs, with configurable cost strategies over embedding dimensions.
+Headline property to reproduce (reference README.md:56-60): the strategic
+classifier's robustness drop under attack goes to ~0 while the regular
+classifier degrades.
 
-Data format (jsonl): {"text": str, "label": str, "adversarial": bool}
-Without --data a deterministic synthetic sentiment set is generated.
+Data: by default the frozen real-English sentiment set (data/sentiment.json)
+with rule-based adversarial perturbations of the test split (typos on
+sentiment-bearing words + distractor clauses — the adv_sst2 attack family).
+``--data synthetic`` keeps the old deterministic toy set; ``--data X.jsonl``
+loads {"text","label","adversarial"} rows.
 
 Usage:
-    python scripts/eval_strategic.py [--data adv.jsonl] \
-        [--cost-strategy uniform_low|balanced|sparse_low]
+    python scripts/eval_strategic.py [--model checkpoints/ac-tiny] \
+        [--cost-strategy uniform_low|balanced|sparse_low] [--json-out out.json]
 """
 
 import argparse
 import json
 import random
+import re
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+#: sentiment-bearing words the attacker targets (typos destroy the lexical
+#: signal the encoder relies on — the text stays human-readable)
+_CHARGED = re.compile(
+    r"\b(delight|wonderful|warm|smart|funny|gorgeous|satisfying|remarkable|"
+    r"beautifully|generous|irresistible|perfect|triumph|love|brilliant|"
+    r"powerful|genuinely|breathtaking|charm|best|masterclass|exceeded|"
+    r"flawlessly|fantastic|superb|excellent|great|amazing|joy|stunning|"
+    r"reliable|inspiring|unforgettable|extraordinary|fresh|cozy|tedious|"
+    r"bloated|wooden|thud|thin|rushed|incoherent|hollow|cynical|insulting|"
+    r"clumsy|forced|predictable|disastrous|grating|muddled|lazy|misery|"
+    r"broke|cheap|useless|scratched|crashes|false|waste|dead|loud|late|"
+    r"rude|cold|bland|stale|disorganized|slog|cliches|flat|forgettable|"
+    r"terrible|awful|horrible|worst|boring)\b")
+
+
+def typo(word: str, rng: random.Random) -> str:
+    if len(word) < 4:
+        return word
+    i = rng.randrange(1, len(word) - 2)
+    return word[:i] + word[i + 1] + word[i] + word[i + 2:]
+
+
+def attack(text: str, rng: random.Random) -> str:
+    """adv_sst2-style perturbation: typo charged words, add a distractor."""
+    out = _CHARGED.sub(lambda m: typo(m.group(0), rng), text)
+    distractors = [
+        "for what it is worth", "according to some people",
+        "in my honest opinion", "believe it or not",
+        "at the end of the day",
+    ]
+    return out + " , " + rng.choice(distractors)
+
+
+def load_real():
+    blob = json.loads((REPO / "data" / "sentiment.json").read_text())
+    rng = random.Random(42)
+    train = [{"text": t, "label": lbl, "adversarial": False}
+             for lbl in ("positive", "negative") for t in blob["train"][lbl]]
+    clean = [{"text": t, "label": lbl, "adversarial": False}
+             for lbl in ("positive", "negative") for t in blob["test"][lbl]]
+    adv = [{"text": attack(d["text"], rng), "label": d["label"],
+            "adversarial": True} for d in clean]
+    return train, clean, adv
 
 
 def make_cost_coefficients(strategy: str, dim: int):
@@ -46,60 +100,77 @@ def synthetic_dataset(n=80, seed=3):
     return data
 
 
-def accuracy(clf, rows, predict):
-    ok = 0
-    for d in rows:
-        p = predict(d["text"])
-        if p and p[0][0] == d["label"]:
-            ok += 1
+def accuracy(rows, preds):
+    ok = sum(1 for d, p in zip(rows, preds) if p and p[0][0] == d["label"])
     return ok / max(len(rows), 1)
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default=None)
-    ap.add_argument("--model", default="bert-base-uncased")
+    ap.add_argument("--data", default="real",
+                    help="'real' (default), 'synthetic', or a jsonl path")
+    ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--cost-strategy", default="uniform_low",
                     choices=["uniform_low", "balanced", "sparse_low"])
     ap.add_argument("--train-frac", type=float, default=0.5)
+    ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
 
-    data = [json.loads(l) for l in open(args.data)] if args.data else synthetic_dataset()
-    split = int(len(data) * args.train_frac)
-    train = [d for d in data[:split] if not d["adversarial"]]
-    test = data[split:]
-    clean = [d for d in test if not d["adversarial"]]
-    adv = [d for d in test if d["adversarial"]]
+    if args.data == "real":
+        train, clean, adv = load_real()
+    else:
+        data = (synthetic_dataset() if args.data == "synthetic"
+                else [json.loads(l) for l in open(args.data)])
+        split = int(len(data) * args.train_frac)
+        train = [d for d in data[:split] if not d["adversarial"]]
+        test = data[split:]
+        clean = [d for d in test if not d["adversarial"]]
+        adv = [d for d in test if d["adversarial"]]
 
-    regular = AdaptiveClassifier(args.model)
+    model = args.model
+    if not Path(model).exists() and (REPO / model).exists():
+        model = str(REPO / model)   # repo-relative checkpoint path
+    regular = AdaptiveClassifier(model)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
 
     dim = regular.embedding_dim
-    strategic = AdaptiveClassifier(args.model, config={
+    strategic = AdaptiveClassifier(model, config={
         "enable_strategic_mode": True,
         "cost_function_type": "linear",
         "cost_coefficients": make_cost_coefficients(args.cost_strategy, dim),
     })
     strategic.add_examples([d["text"] for d in train], [d["label"] for d in train])
 
+    def batch_preds(clf, rows, mode="predict"):
+        if mode == "robust":
+            return [clf.predict_robust(d["text"], 1) for d in rows]
+        return [clf.predict(d["text"], 1) for d in rows]
+
     report = {
+        "data": args.data,
+        "model": model,
+        "n_train": len(train), "n_clean": len(clean), "n_adv": len(adv),
         "cost_strategy": args.cost_strategy,
         "regular": {
-            "clean_acc": accuracy(regular, clean, lambda t: regular.predict(t, 1)),
-            "adv_acc": accuracy(regular, adv, lambda t: regular.predict(t, 1)),
+            "clean_acc": accuracy(clean, batch_preds(regular, clean)),
+            "adv_acc": accuracy(adv, batch_preds(regular, adv)),
         },
         "strategic": {
-            "clean_acc": accuracy(strategic, clean, lambda t: strategic.predict(t, 1)),
-            "adv_acc": accuracy(strategic, adv, lambda t: strategic.predict(t, 1)),
-            "robust_adv_acc": accuracy(strategic, adv, lambda t: strategic.predict_robust(t, 1)),
+            "clean_acc": accuracy(clean, batch_preds(strategic, clean)),
+            "adv_acc": accuracy(adv, batch_preds(strategic, adv)),
+            "robust_adv_acc": accuracy(adv, batch_preds(strategic, adv, "robust")),
         },
     }
     for mode in ("regular", "strategic"):
         r = report[mode]
         r["robustness_drop"] = round(r["clean_acc"] - r["adv_acc"], 4)
+    report["strategic"]["robust_robustness_drop"] = round(
+        report["strategic"]["clean_acc"] - report["strategic"]["robust_adv_acc"], 4)
     print(json.dumps(report, indent=2))
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps(report, indent=2))
 
 
 if __name__ == "__main__":

@@ -2,10 +2,10 @@
 
 Reference analog: scripts/gen_llm_hallucination_detector.py — trains a
 HALLUCINATED/NOT_HALLUCINATED classifier over (context, question, answer)
-triples.  Input format (jsonl):
-    {"context": str, "question": str, "answer": str, "label": "HALLUCINATED"|"NOT_HALLUCINATED"}
-Without --data a deterministic synthetic set is generated so the pipeline
-runs offline end-to-end.
+triples (reference README.md:67-70: RAGTruth F1 51.54%).  By default the
+frozen real-English set data/hallucination.json is used; ``--data
+synthetic`` keeps the toy set; jsonl rows
+{"context","question","answer","label"} are also accepted.
 
 Usage:
     python scripts/train_hallucination_detector.py [--data ragtruth.jsonl] \
@@ -48,22 +48,50 @@ def synthetic_dataset(n=120, seed=7):
     return data
 
 
+def load_real():
+    """Frozen real-English RAGTruth-style set (data/hallucination.json):
+    context+response pairs labeled FAITHFUL/HALLUCINATED."""
+    from pathlib import Path
+
+    blob = json.loads((Path(__file__).resolve().parent.parent
+                       / "data" / "hallucination.json").read_text())
+
+    def rows(split):
+        return [{"context": d["context"], "question": "",
+                 "answer": d["response"],
+                 "label": "HALLUCINATED" if d["label"] == "HALLUCINATED"
+                 else "NOT_HALLUCINATED"}
+                for d in blob[split]]
+
+    return rows("train"), rows("test")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default=None)
-    ap.add_argument("--model", default="bert-base-uncased")
+    ap.add_argument("--data", default="real",
+                    help="'real' (default), 'synthetic', or a jsonl path")
+    ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--out", default="./hallucination-detector")
     ap.add_argument("--eval-frac", type=float, default=0.3)
+    ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
 
-    data = ([json.loads(l) for l in open(args.data)] if args.data
-            else synthetic_dataset())
-    split = int(len(data) * (1 - args.eval_frac))
-    train, test = data[:split], data[split:]
+    if args.data == "real":
+        train, test = load_real()
+    else:
+        data = (synthetic_dataset() if args.data == "synthetic"
+                else [json.loads(l) for l in open(args.data)])
+        split = int(len(data) * (1 - args.eval_frac))
+        train, test = data[:split], data[split:]
 
-    clf = AdaptiveClassifier(args.model)
+    from pathlib import Path as _P
+    model = args.model
+    repo = _P(__file__).resolve().parent.parent
+    if not _P(model).exists() and (repo / model).exists():
+        model = str(repo / model)   # repo-relative checkpoint path
+    clf = AdaptiveClassifier(model)
     clf.add_examples(
         [format_input(d["context"], d["question"], d["answer"]) for d in train],
         [d["label"] for d in train],
@@ -84,10 +112,18 @@ def main():
     precision = tp / max(tp + fp, 1)
     recall = tp / max(tp + fn, 1)
     f1 = 2 * precision * recall / max(precision + recall, 1e-9)
-    print(json.dumps({
+    report = {
+        "data": args.data, "model": args.model,
         "precision": round(precision, 4), "recall": round(recall, 4),
-        "f1": round(f1, 4), "n_eval": len(test),
-    }, indent=2))
+        "f1": round(f1, 4),
+        "accuracy": round((tp + tn) / max(len(test), 1), 4),
+        "n_train": len(train), "n_eval": len(test),
+    }
+    print(json.dumps(report, indent=2))
+    if args.json_out:
+        from pathlib import Path
+
+        Path(args.json_out).write_text(json.dumps(report, indent=2))
 
     clf.save(args.out)
     print(f"saved detector to {args.out}")

@@ -23,6 +23,40 @@ def test_eval_router(monkeypatch, capsys):
     assert "accuracy" in out and "cost_savings_pct" in out
 
 
+def test_eval_strategic_synthetic(monkeypatch, capsys):
+    run_script(
+        "eval_strategic.py",
+        ["--model", "prajjwal1/bert-tiny", "--data", "synthetic"],
+        monkeypatch,
+    )
+    out = capsys.readouterr().out
+    assert "robustness_drop" in out and "strategic" in out
+
+
+def test_real_datasets_load_and_are_wellformed():
+    """The frozen real-text datasets parse and have the expected shapes."""
+    import json
+
+    data = Path(__file__).resolve().parent.parent / "data"
+    sent = json.loads((data / "sentiment.json").read_text())
+    assert len(sent["train"]["positive"]) >= 50
+    assert len(sent["train"]["negative"]) >= 50
+    assert len(sent["test"]["positive"]) >= 15
+    intents = json.loads((data / "intents.json").read_text())
+    assert len(intents["train"]) == 10 and len(intents["new_classes"]) == 3
+    for label, rows in intents["test"].items():
+        assert len(rows) >= 4, label
+    router = json.loads((data / "router.json").read_text())
+    assert {r["label"] for r in router["eval"]} == {"LOW", "HIGH"}
+    assert any(not r["weak_ok"] for r in router["eval"])
+    halluc = json.loads((data / "hallucination.json").read_text())
+    labels = {d["label"] for d in halluc["train"]}
+    assert labels == {"FAITHFUL", "HALLUCINATED"}
+    # every text is real prose, not templated placeholders
+    for t in (sent["train"]["positive"][:5] + [r["q"] for r in router["eval"][:5]]):
+        assert len(t.split()) >= 4
+
+
 def test_train_config_optimizer(monkeypatch, capsys, tmp_path):
     run_script(
         "train_config_optimizer.py",
