@@ -445,18 +445,20 @@ class AdaptiveClassifier:
         n_classes = len(self.label_to_id)
         if n_classes == 0:
             return [[] for _ in texts]
-        emb = self._embed_device(texts)
-        sims = self.memory.sims_for(emb)
         pw, hw = self._history_weights()
         has_head = self.head_params is not None
-        logits = self._head_logits(emb)
         kk = min(max(k, 1), self._class_capacity)
-        scores, ids = fusion.fuse_full(
-            sims, logits, self.memory.state.valid, self._active_mask(),
-            pw, hw, kk, has_head,
-        )
-        scores, ids = np.asarray(scores), np.asarray(ids)
-        return [self._to_label_list(scores[i], ids[i])[:k] for i in range(len(texts))]
+        state = self.memory.state
+        active = self._active_mask()
+
+        def fuse_dev(emb):
+            return fusion.fuse_full_from_emb(
+                emb, state.proto, state.valid, self.head_params, active,
+                pw, hw, kk, has_head,
+                pallas_min_classes=self.config.pallas_knn_min_classes,
+            )
+
+        return self._device_predict_rows(texts, fuse_dev, kk, k)
 
     def predict_batch(
         self, texts: List[str], k: int = 5, batch_size: int = 32
@@ -470,11 +472,6 @@ class AdaptiveClassifier:
         n_classes = len(self.label_to_id)
         if n_classes == 0:
             return [[] for _ in texts]
-        import contextlib
-
-        stage = self.timers.stage if self.timers is not None else (
-            lambda name, **kw: contextlib.nullcontext()
-        )
         has_head = self.head_params is not None
         kk = min(max(k, 1), self._class_capacity)
         state = self.memory.state
@@ -489,32 +486,48 @@ class AdaptiveClassifier:
                 pallas_min_classes=self.config.pallas_knn_min_classes,
             )
 
-        # Everything stays ON DEVICE until ONE packed host transfer at the
-        # end: tokenize(chunk N+1) on a worker thread while the device embeds
-        # and fuses chunk N; per-chunk [chunk, 2k] score/id blocks concatenate
-        # on device and cross back in a single D2H (transfer count, not bytes,
-        # dominates tunneled-TPU latency).  The reference's batch_size slicing
-        # only changes encoder batching, never per-row results
-        # (classifier.py:1321-1325), so fusing per embed-chunk is row-for-row
-        # equivalent while avoiding the D2H→H2D round trip of every
-        # embedding.  (Per-slice semantics — fixed 0.7/0.3 weights,
-        # top-k-restricted scoring — preserved.)
+        return self._device_predict_rows(texts, fuse_dev, kk, k)
+
+    def _device_predict_rows(
+        self, texts: List[str], fuse_dev, kk: int, k: int
+    ) -> List[List[Tuple[str, float]]]:
+        """Shared device-resident predict pipeline (predict / predict_batch).
+
+        Everything stays ON DEVICE until ONE packed host transfer at the
+        end: tokenize(chunk N+1) on a worker thread while the device embeds
+        and fuses chunk N; per-chunk [chunk, 2k] score/id blocks concatenate
+        on device and cross back in a single D2H (transfer COUNT, not bytes,
+        dominates tunneled-TPU latency).  Repeat texts hit the
+        device-resident ring-buffer cache — embeddings never cross the host
+        link in either direction.  ``fuse_dev(emb [n, D]) → (scores, ids)``
+        carries the per-path fusion semantics.
+        """
+        import contextlib
+
+        stage = self.timers.stage if self.timers is not None else (
+            lambda name, **kw: contextlib.nullcontext()
+        )
+
         # A custom embedding provider (subclass override or an instance
         # monkeypatch — the reference's documented extension point,
-        # classifier.py:1249) must keep feeding predict_batch: detect it and
+        # classifier.py:1249) must keep feeding predictions: detect it and
         # route through the host path, uploading its rows in bucketed chunks.
         overridden = (
             "_get_embeddings" in self.__dict__
             or type(self)._get_embeddings is not AdaptiveClassifier._get_embeddings
         )
+        CH = max(self.config.embed_chunk_size, 64)
+
+        def bucket(n):
+            return 1 if n == 1 else 8 if n <= 8 else 64 if n <= 64 else CH
+
         if overridden:
             emb_all = np.asarray(self._get_embeddings(texts), np.float32)
             packed = []
-            CH = max(self.config.embed_chunk_size, 64)
             for s in range(0, len(texts), CH):
                 part = emb_all[s : s + CH]
                 n = part.shape[0]
-                pad_to = 1 if n == 1 else 8 if n <= 8 else 64 if n <= 64 else CH
+                pad_to = bucket(n)
                 if n < pad_to:
                     part = np.concatenate(
                         [part, np.zeros((pad_to - n, part.shape[1]), np.float32)]
@@ -566,12 +579,10 @@ class AdaptiveClassifier:
         # indices upload
         if hit_rows:
             slots = [s for _, s in hit_rows]
-            CH = max(self.config.embed_chunk_size, 64)
             for s0 in range(0, len(slots), CH):
                 part = slots[s0 : s0 + CH]
                 n = len(part)
-                pad_to = 1 if n == 1 else 8 if n <= 8 else 64 if n <= 64 else CH
-                hit_emb = cache.gather(part + [0] * (pad_to - n))
+                hit_emb = cache.gather(part + [0] * (bucket(n) - n))
                 with stage("knn_fusion"):
                     hs, hi = fuse_dev(hit_emb)
                 packed.append(

@@ -92,6 +92,35 @@ def fuse_topk_from_emb(
                      proto_weight, head_weight, k, has_head)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "has_head", "pallas_min_classes")
+)
+def fuse_full_from_emb(
+    emb: jax.Array,           # [B, D]
+    proto: jax.Array,         # [C, D]
+    proto_valid: jax.Array,   # [C] bool
+    head_params,              # HeadParams or None
+    active: jax.Array,        # [C] bool
+    proto_w: jax.Array,       # [C] per-label weights
+    head_w: jax.Array,        # [C]
+    k: int,
+    has_head: bool,
+    pallas_min_classes: int = 512,
+) -> Tuple[jax.Array, jax.Array]:
+    """kNN sims + head forward + full-class fusion as ONE device program
+    (the ``_predict_regular`` semantics — per-label history weights)."""
+    from ..models import head as head_lib
+
+    sims = knn.masked_sims(emb, proto, proto_valid,
+                           pallas_min_classes=pallas_min_classes)
+    if has_head:
+        logits = head_lib.head_forward(head_params, emb, train=False)
+    else:
+        logits = jnp.zeros_like(sims)
+    return fuse_full(sims, logits, proto_valid, active, proto_w, head_w,
+                     k, has_head)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "has_head"))
 def fuse_topk(
     sims: jax.Array,
