@@ -241,28 +241,29 @@ def main():
 
     N = packed.shape[0]
     ids_dev = jnp.asarray(packed)
-    attn = (packed != 0).astype(np.int32)
-    attn_dev = jnp.asarray(attn)
-    rng = np.random.default_rng(0)
+    attn_dev = jnp.asarray((packed != 0).astype(np.int32))
     out_dir = Path(args.out)
 
     print(f"training {args.steps} steps, batch {args.batch}, seq {args.seq}, "
           f"{N} packed rows")
     t0 = time.time()
     losses = []
-    for step in range(args.steps):
-        idx = jnp.asarray(rng.integers(0, N, args.batch))
+    CHUNK = 250  # steps per XLA program (lax.scan) — one dispatch per chunk
+    step = 0
+    while step < args.steps:
+        n = min(CHUNK, args.steps - step)
         key, sub = jax.random.split(key)
-        params, mlm, opt, loss = pretrain.train_step(
-            params, mlm, opt, ids_dev[idx], attn_dev[idx], sub, cfg,
-            mask_id, lr_peak=args.lr, warmup=2000, total_steps=args.steps,
+        params, mlm, opt, loss = pretrain.train_chunk(
+            params, mlm, opt, ids_dev, attn_dev, sub, cfg,
+            mask_id, args.batch, n, lr_peak=args.lr, warmup=2000,
+            total_steps=args.steps,
         )
-        if step % 200 == 0:
-            lv = float(loss)
-            losses.append((step, lv))
-            print(f"step {step:6d}  loss {lv:.4f}  "
-                  f"({(time.time()-t0):.0f}s)", flush=True)
-        if step and step % args.checkpoint_every == 0:
+        step += n
+        lv = float(loss)
+        losses.append((step, lv))
+        print(f"step {step:6d}  mean-loss {lv:.4f}  "
+              f"({(time.time()-t0):.0f}s)", flush=True)
+        if step % args.checkpoint_every < CHUNK:
             pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab,
                                         extra_config={"ac_tiny_step": step})
             (out_dir / "loss_log.json").write_text(json.dumps(losses))

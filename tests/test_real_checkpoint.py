@@ -112,6 +112,41 @@ def test_embeddings_are_meaningful(encoder):
     assert min(close) > max(far), (close, far)
 
 
+def test_new_class_accuracy_preservation_real_text():
+    """Issue-53 regression with REAL weights + REAL text (reference grades
+    this on real embeddings, tests/test_new_class_accuracy_preservation.py:
+    188-198): adding 3 new intent classes must not collapse old-intent
+    accuracy (≤15% relative drop) and new classes must be learnable."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    blob = json.loads((Path(__file__).resolve().parent.parent
+                       / "data" / "intents.json").read_text())
+    clf = AdaptiveClassifier(str(CKPT), config={
+        "train_size_buckets": [256], "class_capacity_buckets": [16],
+        "example_capacity_buckets": [32],
+    })
+    texts = [t for rows in blob["train"].values() for t in rows]
+    labels = [lbl for lbl, rows in blob["train"].items() for _ in rows]
+    clf.add_examples(texts, labels)
+    old_labels = list(blob["train"])
+
+    def acc(label_set):
+        rows = [(t, lbl) for lbl in label_set for t in blob["test"][lbl]]
+        preds = clf.predict_batch([t for t, _ in rows], k=1)
+        return sum(1 for (t, lbl), p in zip(rows, preds)
+                   if p and p[0][0] == lbl) / len(rows)
+
+    before = acc(old_labels)
+    assert before >= 0.5, f"base real-text intent accuracy {before}"
+    clf.add_examples(
+        [t for rows in blob["new_classes"].values() for t in rows],
+        [lbl for lbl, rows in blob["new_classes"].items() for _ in rows],
+    )
+    after = acc(old_labels)
+    assert (before - after) / before <= 0.15, (before, after)
+    assert acc(list(blob["new_classes"])) >= 0.5
+
+
 def test_full_classifier_loop_real_weights(tmp_path):
     """add → predict → save → load with real weights and the real
     tokenizer — zero monkeypatching anywhere."""
