@@ -894,10 +894,16 @@ class AdaptiveClassifier:
     # ------------------------------------------------------------------
     # persistence — delegated to persistence.py
     # ------------------------------------------------------------------
-    def save(self, save_dir: str, include_onnx: bool = True, quantize_onnx: bool = True):
+    def save(self, save_dir: str, include_onnx: bool = True, quantize_onnx: bool = True,
+             include_quantized: Optional[bool] = None):
         from . import persistence
 
-        return persistence.save_classifier(self, Path(save_dir))
+        # include_onnx maps to the int8 export (the onnx/ dir analog);
+        # include_quantized is the explicit TPU-native spelling
+        if include_quantized is None:
+            include_quantized = include_onnx
+        return persistence.save_classifier(self, Path(save_dir),
+                                           include_quantized=include_quantized)
 
     def _save_pretrained(self, save_directory, **kwargs):
         from . import persistence

@@ -1,0 +1,110 @@
+"""Build the offline classifier zoo — trained, committed, integration-tested.
+
+The reference's integration tier loads 17 published Hub models with
+hard-coded expected accuracies (reference
+tests/test_enterprise_classifiers_integration.py:20-123).  Offline, the
+analog is a zoo of classifiers trained HERE on the frozen real-English
+datasets with the committed ac-tiny encoder, saved under checkpoints/zoo/
+with a manifest of measured accuracies that tests/test_integration.py
+validates on every run — same contract: load → predict → meet the
+recorded accuracy.
+
+Usage:
+    python scripts/build_classifier_zoo.py [--model checkpoints/ac-tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def dataset_specs():
+    data = REPO / "data"
+    sent = json.loads((data / "sentiment.json").read_text())
+    intents = json.loads((data / "intents.json").read_text())
+    router = json.loads((data / "router.json").read_text())
+    halluc = json.loads((data / "hallucination.json").read_text())
+
+    def sent_rows(split):
+        return ([(t, "positive") for t in sent[split]["positive"]]
+                + [(t, "negative") for t in sent[split]["negative"]])
+
+    def intent_rows(block):
+        src = intents[block] if block != "test_base" else None
+        if block == "train":
+            return [(t, lbl) for lbl, rows in intents["train"].items() for t in rows]
+        return [(t, lbl) for lbl in intents["train"]
+                for t in intents["test"][lbl]]
+
+    return {
+        "sentiment": {
+            "train": sent_rows("train"),
+            "test": sent_rows("test"),
+            "description": "binary sentiment over real review sentences",
+        },
+        "banking-intents": {
+            "train": intent_rows("train"),
+            "test": intent_rows("test_base"),
+            "description": "10-way banking intent routing",
+        },
+        "llm-router": {
+            "train": [(q, lbl) for lbl in ("LOW", "HIGH")
+                      for q in router["train"][lbl]],
+            "test": [(r["q"], r["label"]) for r in router["eval"]],
+            "description": "LOW/HIGH model-routing by query complexity",
+        },
+        "hallucination-detector": {
+            "train": [(f"Context: {d['context']}\nQuestion: \nAnswer: {d['response']}",
+                       "HALLUCINATED" if d["label"] == "HALLUCINATED"
+                       else "NOT_HALLUCINATED") for d in halluc["train"]],
+            "test": [(f"Context: {d['context']}\nQuestion: \nAnswer: {d['response']}",
+                      "HALLUCINATED" if d["label"] == "HALLUCINATED"
+                      else "NOT_HALLUCINATED") for d in halluc["test"]],
+            "description": "RAGTruth-style context/answer faithfulness",
+        },
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="checkpoints/ac-tiny")
+    ap.add_argument("--out", default="checkpoints/zoo")
+    args = ap.parse_args()
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    model = args.model
+    if not Path(model).exists() and (REPO / model).exists():
+        model = str(REPO / model)
+    out_root = REPO / args.out
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    manifest = {"encoder": args.model, "classifiers": {}}
+    for name, spec in dataset_specs().items():
+        print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")
+        clf = AdaptiveClassifier(model)
+        clf.add_examples([t for t, _ in spec["train"]],
+                         [l for _, l in spec["train"]])
+        preds = clf.predict_batch([t for t, _ in spec["test"]], k=1)
+        acc = sum(1 for (t, l), p in zip(spec["test"], preds)
+                  if p and p[0][0] == l) / len(spec["test"])
+        out = out_root / name
+        clf.save(str(out), include_quantized=False)
+        manifest["classifiers"][name] = {
+            "expected_accuracy": round(acc, 4),
+            "classes": sorted(clf.label_to_id),
+            "description": spec["description"],
+            "n_train": len(spec["train"]), "n_test": len(spec["test"]),
+        }
+        print(f"    accuracy {acc:.4f}, saved {out}")
+
+    (out_root / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    print(json.dumps(manifest, indent=2))
+
+
+if __name__ == "__main__":
+    main()

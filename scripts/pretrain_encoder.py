@@ -22,7 +22,6 @@ import re
 import sys
 import time
 import unicodedata
-from collections import Counter
 from pathlib import Path
 
 import numpy as np
@@ -112,9 +111,17 @@ def build_corpus(max_mb: float = 60.0, verbose: bool = True) -> list[str]:
 # vocab
 # ---------------------------------------------------------------------------
 
-def train_vocab(lines: list[str], vocab_size: int) -> list[str]:
-    """WordPiece vocab via the Rust tokenizers trainer when available, else a
-    first-party frequency builder (whole words + character pieces)."""
+def train_vocab(lines: list[str], vocab_size: int,
+                trainer: str = "rust") -> list[str]:
+    """WordPiece vocab: the Rust tokenizers trainer (fast) or the
+    first-party trainer (models/wordpiece_trainer.py — zero third-party
+    tokenizer dependency, same likelihood-score merge objective)."""
+    if trainer == "first-party":
+        from adaptive_classifier_tpu.models.wordpiece_trainer import (
+            train_wordpiece_vocab,
+        )
+
+        return train_wordpiece_vocab(lines, vocab_size, specials=SPECIALS)
     try:
         from tokenizers import Tokenizer, models, normalizers, pre_tokenizers, trainers
 
@@ -123,27 +130,19 @@ def train_vocab(lines: list[str], vocab_size: int) -> list[str]:
             [normalizers.NFD(), normalizers.Lowercase(), normalizers.StripAccents()]
         )
         tok.pre_tokenizer = pre_tokenizers.BertPreTokenizer()
-        trainer = trainers.WordPieceTrainer(
+        trainer_obj = trainers.WordPieceTrainer(
             vocab_size=vocab_size, special_tokens=SPECIALS,
             continuing_subword_prefix="##",
         )
-        tok.train_from_iterator(lines, trainer)
+        tok.train_from_iterator(lines, trainer_obj)
         vocab = tok.get_vocab()
         tokens = [""] * len(vocab)
         for t, i in vocab.items():
             tokens[i] = t
         return tokens
     except Exception as e:  # pragma: no cover
-        print(f"Rust trainer unavailable ({e}); frequency fallback")
-        counts = Counter()
-        for line in lines:
-            for w in re.findall(r"[a-z]+", line.lower()):
-                counts[w] += 1
-        toks = list(SPECIALS)
-        toks += [chr(c) for c in range(ord("a"), ord("z") + 1)]
-        toks += ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
-        toks += [w for w, _ in counts.most_common(vocab_size - len(toks))]
-        return toks[:vocab_size]
+        print(f"Rust trainer unavailable ({e}); first-party trainer")
+        return train_vocab(lines, vocab_size, trainer="first-party")
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +202,8 @@ def main():
     ap.add_argument("--corpus-mb", type=float, default=60.0)
     ap.add_argument("--corpus-cache", default="/tmp/ac_corpus.npz")
     ap.add_argument("--checkpoint-every", type=int, default=5000)
+    ap.add_argument("--vocab-trainer", default="rust",
+                    choices=["rust", "first-party"])
     args = ap.parse_args()
 
     import jax
@@ -222,7 +223,7 @@ def main():
         print("building corpus…")
         lines = build_corpus(args.corpus_mb)
         print(f"corpus: {len(lines)} lines, {sum(map(len, lines))/1e6:.1f} MB")
-        vocab = train_vocab(lines, args.vocab_size)
+        vocab = train_vocab(lines, args.vocab_size, trainer=args.vocab_trainer)
         print(f"vocab: {len(vocab)} tokens")
         packed = pack_examples(lines, vocab, args.seq)
         print(f"packed: {packed.shape}")

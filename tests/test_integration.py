@@ -11,6 +11,7 @@ checkpoint directories.
 
 import json
 import os
+import sys
 import time
 from pathlib import Path
 
@@ -151,3 +152,63 @@ def test_published_models_from_env():
         assert len(clf.label_to_id) > 0
         preds = clf.predict("integration probe text", k=1)
         assert preds and 0.0 <= preds[0][1] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# committed zoo tier — trained-here classifiers with recorded accuracies
+# (offline analog of the reference's 17-published-model integration suite,
+# reference tests/test_enterprise_classifiers_integration.py:20-123)
+# ---------------------------------------------------------------------------
+
+ZOO = Path(__file__).resolve().parent.parent / "checkpoints" / "zoo"
+
+zoo_required = pytest.mark.skipif(
+    not (ZOO / "manifest.json").exists(),
+    reason="classifier zoo not built (scripts/build_classifier_zoo.py)",
+)
+
+
+@pytest.fixture(scope="module")
+def zoo_manifest():
+    import json
+
+    return json.loads((ZOO / "manifest.json").read_text())
+
+
+@zoo_required
+def test_zoo_models_load_and_meet_recorded_accuracy(zoo_manifest):
+    """Every committed zoo classifier loads and reproduces its recorded
+    accuracy (within 2pp slack for numeric drift) on its real-text test
+    split — the reference's published-model accuracy contract."""
+    import json
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from build_classifier_zoo import dataset_specs
+
+    specs = dataset_specs()
+    for name, meta in zoo_manifest["classifiers"].items():
+        clf = AdaptiveClassifier.load(str(ZOO / name))
+        assert sorted(clf.label_to_id) == meta["classes"], name
+        test = specs[name]["test"]
+        preds = clf.predict_batch([t for t, _ in test], k=1)
+        acc = sum(1 for (t, l), p in zip(test, preds)
+                  if p and p[0][0] == l) / len(test)
+        assert acc >= meta["expected_accuracy"] - 0.02, (name, acc, meta)
+
+
+@zoo_required
+def test_zoo_k_consistency_and_stability(zoo_manifest):
+    """k=1 vs k=2 top prediction agrees; repeat predictions stable
+    (reference :265-299, :326-346)."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    for name in zoo_manifest["classifiers"]:
+        clf = AdaptiveClassifier.load(str(ZOO / name))
+        text = "please check this request and route it correctly"
+        top1 = clf.predict(text, k=1)[0][0]
+        top2 = clf.predict(text, k=2)[0][0]
+        assert top1 == top2, name
+        again = clf.predict(text, k=1)[0][0]
+        assert again == top1, name
