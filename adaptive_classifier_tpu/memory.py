@@ -425,11 +425,20 @@ class PrototypeMemory:
                 emb=self.state.emb.at[slot, 0].set(jnp.asarray(prototype, jnp.float32)),
                 count=self.state.count.at[slot].set(1),
             )
-        self.state = recompute_prototypes(self.state)
+            n = 1
+        # SLOT-LOCAL prototype update only: recomputing the whole state here
+        # would overwrite previously-restored classes' exact checkpointed
+        # prototypes with the mean of their (lossy, k-means-selected) saved
+        # examples and silently drift predictions across a save/load
         if prototype is not None:
-            self.state = self.state.replace(
-                proto=self.state.proto.at[slot].set(jnp.asarray(prototype, jnp.float32)),
-            )
+            new_proto = jnp.asarray(prototype, jnp.float32)
+        elif n > 0:
+            new_proto = jnp.mean(jnp.asarray(embs[:n], jnp.float32), axis=0)
+        else:
+            new_proto = self.state.proto[slot]
+        self.state = self.state.replace(
+            proto=self.state.proto.at[slot].set(new_proto),
+        )
 
     # -- strategic prototypes (reference memory.py:247-295) -------------
     def compute_strategic_prototypes(self, cost_function, classifier_func):

@@ -46,6 +46,10 @@ class EncoderConfig:
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
     arch: str = "bert"  # "bert" | "distilbert" | "roberta" | "modernbert"
+    #: sentence pooling: "cls" (reference semantics) or "mean" (masked mean
+    #: — used by our MLM-only pretrained checkpoints via config.json's
+    #: "ac_pooling" key)
+    pooling: str = "cls"
     # ModernBERT-specific (ignored by classic BERT)
     global_attn_every_n_layers: int = 3
     local_attention: int = 128
@@ -295,17 +299,25 @@ def embed_texts_device(
     cfg: EncoderConfig,
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    pooling: str = "cls",
 ) -> jax.Array:
-    """Encoder forward + CLS pool + L2 normalize → ``[B, D]`` float32.
+    """Encoder forward + pool + L2 normalize → ``[B, D]`` float32.
 
-    Mirrors the reference's ``_get_embeddings`` epilogue
-    (classifier.py:1271-1282) but fused on-device.
+    ``pooling="cls"`` mirrors the reference's ``_get_embeddings`` epilogue
+    (classifier.py:1271-1282); ``"mean"`` is masked mean pooling — the right
+    choice for MLM-only pretrained encoders (ac-tiny/ac-small), whose [CLS]
+    state is never trained as a sentence summary.
     """
     hidden = encoder_forward(params, input_ids, attention_mask, cfg, compute_dtype,
                              use_flash=use_flash)
-    cls = hidden[:, 0, :]
-    norm = jnp.linalg.norm(cls, axis=-1, keepdims=True)
-    return cls / jnp.maximum(norm, 1e-12)
+    if pooling == "mean":
+        m = attention_mask[:, :, None].astype(hidden.dtype)
+        pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    else:
+        pooled = hidden[:, 0, :]
+    pooled = pooled.astype(jnp.float32)
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +382,7 @@ def _read_hf_config(path: Path) -> EncoderConfig:
         type_vocab_size=cfg.get("type_vocab_size", 2),
         layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
         pad_token_id=cfg.get("pad_token_id", 0), arch="bert",
+        pooling=cfg.get("ac_pooling", "cls"),
     )
 
 
@@ -525,7 +538,8 @@ class Encoder:
 
             @jax.jit
             def _embed_q(params, input_ids, attention_mask):
-                return embed_texts_device_int8(params, input_ids, attention_mask, cfg, cd)
+                return embed_texts_device_int8(params, input_ids, attention_mask,
+                                               cfg, cd, pooling=cfg.pooling)
 
             self._embed_jit = _embed_q
             self._embed = lambda p, ids, mask: _embed_q(p, ids, mask)
@@ -534,7 +548,7 @@ class Encoder:
         @functools.partial(jax.jit, static_argnames=("use_flash",))
         def _embed(params, input_ids, attention_mask, use_flash=False):
             return embed_texts_device(params, input_ids, attention_mask, cfg, cd,
-                                      use_flash=use_flash)
+                                      use_flash=use_flash, pooling=cfg.pooling)
 
         self._embed_jit = _embed
         self._embed = lambda p, ids, mask: _embed(

@@ -164,9 +164,14 @@ def encoder_forward_int8(
 
 
 def embed_texts_device_int8(qparams, input_ids, attention_mask, cfg,
-                            compute_dtype=jnp.bfloat16) -> jax.Array:
+                            compute_dtype=jnp.bfloat16,
+                            pooling: str = "cls") -> jax.Array:
     hidden = encoder_forward_int8(qparams, input_ids, attention_mask, cfg,
                                   compute_dtype)
-    cls = hidden[:, 0, :]
-    norm = jnp.linalg.norm(cls, axis=-1, keepdims=True)
-    return cls / jnp.maximum(norm, 1e-12)
+    if pooling == "mean":
+        m = attention_mask[:, :, None].astype(hidden.dtype)
+        pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    else:
+        pooled = hidden[:, 0, :]
+    norm = jnp.linalg.norm(pooled, axis=-1, keepdims=True)
+    return pooled / jnp.maximum(norm, 1e-12)

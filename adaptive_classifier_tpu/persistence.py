@@ -112,8 +112,19 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         # (reference scripts/adaptive_router/config.json, SURVEY.md §5)
         saved_examples = config_dict.get("examples", {})
 
+    model_name = config_dict["model_name"]
+    if "/" in model_name and not Path(model_name).exists():
+        # a checkpoint may reference a local encoder by a path relative to
+        # the repo it was built in (e.g. the committed zoo references
+        # checkpoints/ac-tiny); resolve against the checkpoint's ancestors
+        # so loading works from any working directory
+        for anc in [model_path, *list(model_path.parents)[:4]]:
+            cand = anc / model_name
+            if (cand / "config.json").exists():
+                model_name = str(cand)
+                break
     clf = cls(
-        config_dict["model_name"],
+        model_name,
         device=device,
         config=config_dict.get("config", None),
     )

@@ -220,6 +220,68 @@ def train_chunk(params, mlm, opt, ids_all, attn_all, key, cfg,
 
 
 # ---------------------------------------------------------------------------
+# contrastive sentence-embedding phase (unsupervised, SimCSE-family)
+# ---------------------------------------------------------------------------
+
+def _mean_pool_embed(params, ids, attn, cfg, compute_dtype=jnp.bfloat16):
+    h = encoder_forward(params, ids, attn, cfg, compute_dtype)
+    m = attn[:, :, None].astype(h.dtype)
+    e = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    e = e.astype(jnp.float32)
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+
+
+def contrastive_loss(params, ids, attn, key, cfg, mask_id: int,
+                     temperature: float = 0.05, view_mask_prob: float = 0.1):
+    """Two token-corruption views of each sentence must embed closer to each
+    other than to any other sentence in the batch (InfoNCE, in-batch
+    negatives).  Unsupervised — MLM gives lexical knowledge, this phase
+    shapes the *sentence geometry* the classifier's kNN/prototypes rely on
+    (an MLM-only encoder's pooled states are weak sentence summaries)."""
+    k1, k2 = jax.random.split(key)
+    v1, _, _ = apply_mlm_masking(k1, ids, attn, mask_id, cfg.vocab_size,
+                                 mask_prob=view_mask_prob)
+    v2, _, _ = apply_mlm_masking(k2, ids, attn, mask_id, cfg.vocab_size,
+                                 mask_prob=view_mask_prob)
+    e1 = _mean_pool_embed(params, v1, attn, cfg)
+    e2 = _mean_pool_embed(params, v2, attn, cfg)
+    sims = e1 @ e2.T / temperature                 # [B, B]
+    B = sims.shape[0]
+    targets = jnp.arange(B)
+    logp_12 = jax.nn.log_softmax(sims, axis=1)
+    logp_21 = jax.nn.log_softmax(sims.T, axis=1)
+    nll = -(logp_12[targets, targets] + logp_21[targets, targets]) / 2.0
+    return jnp.mean(nll)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mask_id", "batch",
+                                             "n_steps", "lr", "view_mask_prob"))
+def contrastive_chunk(params, opt, ids_all, attn_all, key, cfg,
+                      mask_id: int, batch: int, n_steps: int,
+                      lr: float = 1e-4, view_mask_prob: float = 0.1):
+    """``n_steps`` contrastive steps as one XLA program (lax.scan)."""
+    def body(carry, i):
+        params, opt = carry
+        sub = jax.random.fold_in(key, i)
+        k_idx, k_loss = jax.random.split(sub)
+        idx = jax.random.randint(k_idx, (batch,), 0, ids_all.shape[0])
+
+        def loss_fn(p):
+            return contrastive_loss(p, ids_all[idx], attn_all[idx], k_loss,
+                                    cfg, mask_id,
+                                    view_mask_prob=view_mask_prob)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = training.clip_global_norm(grads, 1.0)
+        new_params, new_opt = training.adamw_update(params, grads, opt, lr)
+        return (new_params, new_opt), loss
+
+    (params, opt), losses = jax.lax.scan(body, (params, opt),
+                                         jnp.arange(n_steps))
+    return params, opt, jnp.mean(losses)
+
+
+# ---------------------------------------------------------------------------
 # HF-layout checkpoint export (inverse of encoder._map_hf_weights)
 # ---------------------------------------------------------------------------
 

@@ -50,10 +50,14 @@ def synthetic_dataset(n=200, seed=42):
     return rows[: n // 2], rows[n // 2:], {"weak": 1.0, "strong": 10.0}
 
 
-def load_real():
+def load_real(seed_per_class: int = 5):
+    """Seed with ``seed_per_class`` examples per label — the reference's
+    shipped router starts from exactly 5 LOW + 5 HIGH real examples
+    (scripts/adaptive_router/config.json); adaptation learns from the rest
+    of the stream."""
     blob = json.loads((REPO / "data" / "router.json").read_text())
     train = [{"q": q, "label": lbl} for lbl in ("LOW", "HIGH")
-             for q in blob["train"][lbl]]
+             for q in blob["train"][lbl][:seed_per_class]]
     return train, blob["eval"], blob["cost"]
 
 
@@ -96,6 +100,8 @@ def run_stream(clf, rows, cost, adapt: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="real", help="'real', 'synthetic', or jsonl")
+    ap.add_argument("--seed-per-class", type=int, default=5,
+                    help="seed examples per label (reference ships 5+5)")
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--adapt", action="store_true",
                     help="also run the adaptation pass (reference w/ adaptation)")
@@ -105,7 +111,7 @@ def main():
     from adaptive_classifier_tpu import AdaptiveClassifier
 
     if args.data == "real":
-        train, eval_rows, cost = load_real()
+        train, eval_rows, cost = load_real(args.seed_per_class)
     elif args.data == "synthetic":
         train, eval_rows, cost = synthetic_dataset()
     else:

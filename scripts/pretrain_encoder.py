@@ -204,6 +204,14 @@ def main():
     ap.add_argument("--checkpoint-every", type=int, default=5000)
     ap.add_argument("--vocab-trainer", default="rust",
                     choices=["rust", "first-party"])
+    ap.add_argument("--contrastive-steps", type=int, default=4000,
+                    help="unsupervised sentence-embedding phase after MLM")
+    ap.add_argument("--contrastive-mask-prob", type=float, default=0.1)
+    ap.add_argument("--mlm-out", default=None,
+                    help="also save the MLM-only weights here (pre-contrastive)")
+    ap.add_argument("--pooling", default="mean", choices=["mean", "cls"])
+    ap.add_argument("--init-from", default=None,
+                    help="existing HF-layout checkpoint to continue from")
     args = ap.parse_args()
 
     import jax
@@ -235,7 +243,15 @@ def main():
         max_position_embeddings=max(args.seq, 512),
     )
     mask_id = vocab.index("[MASK]")
-    params = pretrain.init_params(0, cfg)
+    if args.init_from:
+        from adaptive_classifier_tpu.models.encoder import (
+            _load_state_dict, _map_hf_weights,
+        )
+
+        params = _map_hf_weights(_load_state_dict(Path(args.init_from)), cfg)
+        print(f"continuing from {args.init_from}")
+    else:
+        params = pretrain.init_params(0, cfg)
     mlm = pretrain.init_mlm(0, cfg)
     opt = training.adamw_init({"enc": params, "mlm": mlm})
     key = jax.random.PRNGKey(0)
@@ -269,10 +285,34 @@ def main():
                                         extra_config={"ac_tiny_step": step})
             (out_dir / "loss_log.json").write_text(json.dumps(losses))
 
-    pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab,
-                                extra_config={"ac_tiny_step": args.steps})
+    if args.mlm_out:
+        pretrain.save_hf_checkpoint(params, cfg, Path(args.mlm_out), vocab,
+                                    extra_config={"ac_tiny_step": args.steps})
+    # unsupervised contrastive phase: shapes sentence geometry for the
+    # classifier's kNN/prototypes (MLM-only pooled states are weak)
+    if args.contrastive_steps > 0:
+        copt = training.adamw_init(params)
+        done = 0
+        while done < args.contrastive_steps:
+            n = min(CHUNK, args.contrastive_steps - done)
+            key, sub = jax.random.split(key)
+            params, copt, closs = pretrain.contrastive_chunk(
+                params, copt, ids_dev, attn_dev, sub, cfg, mask_id,
+                min(args.batch, 256), n, lr=1e-4,
+                view_mask_prob=args.contrastive_mask_prob)
+            done += n
+            print(f"contrastive {done:5d}  mean-loss {float(closs):.4f}  "
+                  f"({(time.time()-t0):.0f}s)", flush=True)
+            losses.append((args.steps + done, float(closs)))
+
+    extra = {"ac_tiny_step": args.steps,
+             "ac_contrastive_steps": args.contrastive_steps}
+    if args.pooling != "cls":
+        extra["ac_pooling"] = args.pooling
+    pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab, extra_config=extra)
     (out_dir / "loss_log.json").write_text(json.dumps(losses))
-    print(f"saved {out_dir}; final loss {losses[-1][1]:.4f}")
+    print(f"saved {out_dir}; final loss "
+          f"{losses[-1][1]:.4f}" if losses else f"saved {out_dir}")
 
 
 if __name__ == "__main__":
