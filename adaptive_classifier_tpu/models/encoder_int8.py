@@ -125,13 +125,20 @@ def encoder_forward_int8(
     def layer_body(h, lp):
         x = h
 
-        def qproj(name):
-            return _q_matmul(x, lp[f"{name}.int8"], lp[f"{name}.scale"],
-                             lp[name.replace("_w", "_b")])
-
-        q = qproj("q_w").astype(compute_dtype).reshape(B, S, H, Dh)
-        k = qproj("k_w").astype(compute_dtype).reshape(B, S, H, Dh)
-        v = qproj("v_w").astype(compute_dtype).reshape(B, S, H, Dh)
+        # fused QKV: ONE dynamic quantization of x and ONE [D, 3D] int8
+        # matmul instead of three (the float path fuses QKV the same way,
+        # encoder.py "fused QKV +2.7%"; int8 additionally saves two
+        # per-row quantization passes over x)
+        w_qkv = jnp.concatenate(
+            [lp["q_w.int8"], lp["k_w.int8"], lp["v_w.int8"]], axis=1)
+        s_qkv = jnp.concatenate(
+            [lp["q_w.scale"], lp["k_w.scale"], lp["v_w.scale"]])
+        b_qkv = jnp.concatenate([lp["q_b"], lp["k_b"], lp["v_b"]])
+        qkv = _q_matmul(x, w_qkv, s_qkv, b_qkv).astype(compute_dtype)
+        D = cfg.hidden_size
+        q = qkv[..., :D].reshape(B, S, H, Dh)
+        k = qkv[..., D:2 * D].reshape(B, S, H, Dh)
+        v = qkv[..., 2 * D:].reshape(B, S, H, Dh)
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
