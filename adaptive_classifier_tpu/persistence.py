@@ -128,6 +128,15 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         device=device,
         config=config_dict.get("config", None),
     )
+    saved_dim = config_dict.get("embedding_dim")
+    if saved_dim is not None and saved_dim != clf.embedding_dim:
+        raise ValueError(
+            f"Checkpoint at {model_path} was built with a {saved_dim}-dim "
+            f"encoder ('{config_dict['model_name']}'), but the resolved "
+            f"encoder produces {clf.embedding_dim}-dim embeddings — the "
+            f"original encoder checkpoint is unavailable and no compatible "
+            f"offline architecture exists for that name."
+        )
 
     # If the encoder's real weights aren't available here (no local HF
     # checkpoint) but the checkpoint's int8 export captured a *pretrained*

@@ -99,6 +99,22 @@ def main():
         },
     }
 
+    gaming = run_json("eval_strategic.py",
+                      ["--model", model, "--data", "router-gaming"],
+                      tmp / "strategic_router.json")
+    report["strategic_router_gaming"] = {
+        "ours": gaming,
+        "note": (
+            "In-domain strategic scenario (route accuracy ~0.9, so the "
+            "robustness numbers are non-vacuous): LOW-complexity users "
+            "prepend jargon to reach the strong model. The attack defeats "
+            "BOTH regular and strategic modes — the strategic framework "
+            "(ours and the reference's, strategic.py:41-123) models "
+            "embedding-space gaming under a known cost function; text-level "
+            "attacks sit outside that cost model. Recorded as an honest "
+            "negative result about the mechanism's scope."),
+    }
+
     router = run_json("eval_router.py", ["--model", model, "--adapt"],
                       tmp / "router.json")
     report["router"] = {

@@ -71,6 +71,34 @@ def load_real():
     return train, clean, adv
 
 
+#: jargon wrappers a strategic user prepends to a simple query to game the
+#: complexity router into giving them the expensive model
+_GAMING_WRAPPERS = [
+    "considering byzantine fault tolerance and asymptotic complexity, ",
+    "from a formal verification and distributed consensus standpoint, ",
+    "accounting for cache coherence protocols and memory ordering, ",
+    "with rigorous proofs and hierarchical bayesian treatment please: ",
+    "in terms of antitrust doctrine and constitutional analysis, ",
+]
+
+
+def load_router_gaming():
+    """Strategic-classification scenario on the ROUTER task: LOW-complexity
+    users game their queries with complexity jargon to reach the strong
+    model (cost attack on the provider).  In-domain for the offline encoder
+    — route accuracy ~0.9 — so robustness numbers are non-vacuous."""
+    blob = json.loads((REPO / "data" / "router.json").read_text())
+    rng = random.Random(7)
+    train = [{"text": q, "label": lbl, "adversarial": False}
+             for lbl in ("LOW", "HIGH") for q in blob["train"][lbl]]
+    clean = [{"text": r["q"], "label": r["label"], "adversarial": False}
+             for r in blob["eval"]]
+    adv = [{"text": rng.choice(_GAMING_WRAPPERS) + r["q"], "label": "LOW",
+            "adversarial": True}
+           for r in blob["eval"] if r["label"] == "LOW"]
+    return train, clean, adv
+
+
 def make_cost_coefficients(strategy: str, dim: int):
     rng = random.Random(42)
     if strategy == "uniform_low":
@@ -108,7 +136,8 @@ def accuracy(rows, preds):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default="real",
-                    help="'real' (default), 'synthetic', or a jsonl path")
+                    help="'real' (sentiment, default), 'router-gaming', "
+                         "'synthetic', or a jsonl path")
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--cost-strategy", default="uniform_low",
                     choices=["uniform_low", "balanced", "sparse_low"])
@@ -120,6 +149,8 @@ def main():
 
     if args.data == "real":
         train, clean, adv = load_real()
+    elif args.data == "router-gaming":
+        train, clean, adv = load_router_gaming()
     else:
         data = (synthetic_dataset() if args.data == "synthetic"
                 else [json.loads(l) for l in open(args.data)])
@@ -140,8 +171,15 @@ def main():
         "enable_strategic_mode": True,
         "cost_function_type": "linear",
         "cost_coefficients": make_cost_coefficients(args.cost_strategy, dim),
+        "strategic_training_frequency": 2,
     })
-    strategic.add_examples([d["text"] for d in train], [d["label"] for d in train])
+    # feed in chunks so the periodic strategic-training step actually runs
+    # (reference classifier.py:196-197 fires every N add_examples calls)
+    chunk = max(len(train) // 6, 1)
+    for s in range(0, len(train), chunk):
+        part = train[s : s + chunk]
+        strategic.add_examples([d["text"] for d in part],
+                               [d["label"] for d in part])
 
     def batch_preds(clf, rows, mode="predict"):
         if mode == "robust":
