@@ -149,6 +149,10 @@ class ModelConfig:
         #: use the Pallas fused kNN kernel when the padded class count is at
         #: least this large; below it XLA's plain lowering is already optimal
         self.pallas_knn_min_classes = g("pallas_knn_min_classes", 512)
+        #: use the two-stage fused top-k kernel (never materializes the
+        #: [B, C] similarity matrix) when the class count is at least this
+        #: large; measured 2× at C=262144 on v5e (ops/knn_topk.py)
+        self.fused_topk_min_classes = g("fused_topk_min_classes", 16384)
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
         #: host-side LRU for text→embedding (0 disables); the encoder is
@@ -179,6 +183,7 @@ class ModelConfig:
             "example_capacity_slack": self.example_capacity_slack,
             "train_size_buckets": self.train_size_buckets,
             "pallas_knn_min_classes": self.pallas_knn_min_classes,
+            "fused_topk_min_classes": self.fused_topk_min_classes,
             "strategic_num_candidates": self.strategic_num_candidates,
             "embedding_cache_size": self.embedding_cache_size,
         })

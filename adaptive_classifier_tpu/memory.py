@@ -35,7 +35,7 @@ import numpy as np
 from flax import struct
 
 from .config import Example, ModelConfig
-from .ops import knn
+from .ops import knn, knn_topk
 
 logger = logging.getLogger(__name__)
 
@@ -340,8 +340,13 @@ class PrototypeMemory:
             return []
         k = min(k, n_valid)
         q = jnp.asarray(np.asarray(query_embedding, np.float32)).reshape(1, -1)
-        sims = self.sims_for(q)
-        scores, idx = knn.topk_scores(sims, self.state.valid, k)
+        # large indexes route through the two-stage fused top-k kernel
+        # (ops/knn_topk.py) — the [1, C] similarity row never materializes
+        scores, idx, raw = knn_topk.topk_scores_auto(
+            q, self.state.proto, self.state.valid, k,
+            fused_min_classes=self.config.fused_topk_min_classes,
+            return_raw=True,
+        )
         scores = np.asarray(scores[0])
         idx = np.asarray(idx[0])
         # min_similarity thresholds the RAW exp(−d²) similarity (the scale the
@@ -350,11 +355,11 @@ class PrototypeMemory:
         # accepts this parameter but never applies it, memory.py:85-136; we
         # implement it with raw-similarity semantics and document the
         # deviation in docs/PARITY.md.)
-        raw = np.asarray(sims[0])
+        raw = np.asarray(raw[0])
         results = []
-        for i, s in zip(idx, scores):
+        for pos, (i, s) in enumerate(zip(idx, scores)):
             if i >= 0:
-                if min_similarity is not None and raw[int(i)] < min_similarity:
+                if min_similarity is not None and raw[pos] < min_similarity:
                     continue
                 results.append((self.index_to_label[int(i)], float(s)))
         return results

@@ -29,7 +29,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from adaptive_classifier_tpu.ops import knn
+    from adaptive_classifier_tpu.ops import knn, knn_topk
     from adaptive_classifier_tpu import native
 
     r = np.random.default_rng(0)
@@ -57,6 +57,23 @@ def main():
         dev_qps = args.batch * args.iters / (time.perf_counter() - t0)
 
         entry = {"device_qps": round(dev_qps, 1)}
+
+        # two-stage fused top-k (no [B, C] materialization) — the
+        # large-index path (ops/knn_topk.py)
+        @jax.jit
+        def search_fused(qq):
+            return knn_topk.topk_scores_fused(qq, pj, vj, args.k)
+
+        sf, idxf = search_fused(qj)
+        sf.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            sf, idxf = search_fused(qj)
+        sf.block_until_ready()
+        entry["fused_topk_qps"] = round(
+            args.batch * args.iters / (time.perf_counter() - t0), 1)
+        entry["fused_idx_match"] = bool(
+            np.array_equal(np.asarray(idxf), np.asarray(idx)))
 
         if native.native_available():
             fi = native.FlatIndexL2(args.dim)
