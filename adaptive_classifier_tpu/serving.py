@@ -8,6 +8,18 @@ a request queue, groups requests up to ``max_batch_size`` (waiting at most
 ``max_wait_ms`` for stragglers), runs them through the classifier's batched
 device pipeline, and resolves per-request futures.
 
+Production QoS (round 2):
+
+- **priorities** — ``submit_predict(..., priority=1)`` jumps the queue;
+  FIFO order is kept within a priority level.
+- **deadlines / shedding** — ``deadline_ms`` requests that expire while
+  queued are dropped with ``DeadlineExceeded`` *before* wasting a device
+  batch slot; ``max_queue_depth`` sheds new work with ``ServerOverloaded``
+  at admission time so the queue cannot grow without bound.
+- **multi-tenancy** — ``MultiTenantServer`` runs several classifiers on
+  one chip behind one worker: batches never mix models, and scheduling is
+  priority-then-FIFO across tenants.
+
 The worker is the classifier's single writer (memory.py's concurrency
 model): ``add_examples`` submitted through the server serializes with
 predictions, so continual learning and serving interleave safely.
@@ -15,24 +27,82 @@ predictions, so continual learning and serving interleave safely.
 
 from __future__ import annotations
 
+import heapq
+import itertools
 import logging
 import queue
 import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 logger = logging.getLogger(__name__)
+
+
+class ServerOverloaded(RuntimeError):
+    """Raised into a request's future when the queue is at max_queue_depth."""
+
+
+class DeadlineExceeded(TimeoutError):
+    """Raised into a request's future when its deadline passed while queued."""
 
 
 @dataclass
 class _Request:
     kind: str                       # "predict" | "add"
+    model: str                      # tenant name ("default" for single-model)
     texts: List[str]
     labels: Optional[List[str]]
     k: int
+    priority: int = 0               # higher = served sooner
+    deadline: Optional[float] = None  # time.monotonic() cutoff
     future: "Future" = field(default_factory=Future)
+
+    def expired(self, now: Optional[float] = None) -> bool:
+        return (self.deadline is not None
+                and (now if now is not None else time.monotonic()) > self.deadline)
+
+
+class _PriorityChannel:
+    """Priority-then-FIFO blocking channel with a depth cap.
+
+    ``queue.PriorityQueue`` plus the bookkeeping the server needs:
+    monotonic sequence numbers keep FIFO order inside a priority level,
+    and ``put`` is non-blocking — admission control happens here.
+    """
+
+    def __init__(self, maxsize: int = 0):
+        self._heap: list = []
+        self._lock = threading.Lock()
+        self._not_empty = threading.Condition(self._lock)
+        self._seq = itertools.count()
+        self.maxsize = maxsize
+
+    def put(self, req: Optional[_Request]) -> bool:
+        """False if shed at admission (full); sentinels are never shed."""
+        with self._lock:
+            if (req is not None and self.maxsize > 0
+                    and len(self._heap) >= self.maxsize):
+                return False
+            prio = 0 if req is None else req.priority
+            # max-heap on priority via negation; sentinel sorts last within
+            # its level (drains after queued work)
+            heapq.heappush(self._heap, (-prio, next(self._seq), req))
+            self._not_empty.notify()
+            return True
+
+    def get(self, timeout: Optional[float] = None) -> Optional[_Request]:
+        """Blocks; raises queue.Empty on timeout."""
+        with self._not_empty:
+            if not self._heap and not self._not_empty.wait_for(
+                    lambda: bool(self._heap), timeout=timeout):
+                raise queue.Empty
+            return heapq.heappop(self._heap)[2]
+
+    def qsize(self) -> int:
+        with self._lock:
+            return len(self._heap)
 
 
 class BatchingClassifierServer:
@@ -45,17 +115,30 @@ class BatchingClassifierServer:
     [("label", 0.93), ...]
     """
 
-    def __init__(self, classifier, max_batch_size: int = 64,
-                 max_wait_ms: float = 2.0):
-        self.classifier = classifier
+    def __init__(self, classifier=None, max_batch_size: int = 64,
+                 max_wait_ms: float = 2.0, max_queue_depth: int = 0,
+                 classifiers: Optional[Dict[str, object]] = None):
+        if classifiers is None:
+            if classifier is None:
+                raise ValueError("need a classifier (or classifiers=...)")
+            classifiers = {"default": classifier}
+        elif classifier is not None:
+            raise ValueError("pass classifier or classifiers, not both")
+        self.classifiers = dict(classifiers)
+        self.classifier = next(iter(self.classifiers.values()))
         self.max_batch_size = max_batch_size
         self.max_wait_s = max_wait_ms / 1000.0
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._chan = _PriorityChannel(maxsize=max_queue_depth)
+        self._pending = 0               # admitted, not yet resolved
+        self._pending_lock = threading.Lock()
+        self._drained = threading.Condition(self._pending_lock)
         self._held: Optional[_Request] = None  # deferred by the batch collector
         self._worker: Optional[threading.Thread] = None
         self._stop = threading.Event()
         self.batches_run = 0
         self.requests_served = 0
+        self.requests_shed = 0          # admission-control rejections
+        self.requests_expired = 0       # deadline drops
 
     # -- lifecycle ------------------------------------------------------
     def start(self):
@@ -70,9 +153,10 @@ class BatchingClassifierServer:
         if self._worker is None:
             return
         if drain:
-            self._queue.join()
+            with self._drained:
+                self._drained.wait_for(lambda: self._pending == 0)
         self._stop.set()
-        self._queue.put(None)  # wake the worker
+        self._chan.put(None)  # wake the worker
         self._worker.join(timeout=10)
         self._worker = None
 
@@ -84,32 +168,76 @@ class BatchingClassifierServer:
         self.stop()
 
     # -- submission -----------------------------------------------------
-    def submit_predict(self, text: str, k: int = 5) -> "Future":
-        req = _Request("predict", [text], None, k)
-        self._queue.put(req)
+    def _admit(self, req: _Request) -> "Future":
+        with self._pending_lock:
+            self._pending += 1
+        if not self._chan.put(req):
+            self.requests_shed += 1
+            self._done(1)
+            req.future.set_exception(ServerOverloaded(
+                f"queue at max depth {self._chan.maxsize}"))
         return req.future
 
-    def predict(self, text: str, k: int = 5, timeout: Optional[float] = None):
-        return self.submit_predict(text, k).result(timeout=timeout)
+    def _done(self, n: int = 1):
+        with self._drained:
+            self._pending -= n
+            if self._pending == 0:
+                self._drained.notify_all()
 
-    def submit_add_examples(self, texts: List[str], labels: List[str]) -> "Future":
-        req = _Request("add", list(texts), list(labels), 0)
-        self._queue.put(req)
-        return req.future
+    def submit_predict(self, text: str, k: int = 5, priority: int = 0,
+                       deadline_ms: Optional[float] = None,
+                       model: str = "default") -> "Future":
+        deadline = (time.monotonic() + deadline_ms / 1000.0
+                    if deadline_ms is not None else None)
+        if model not in self.classifiers:
+            f: Future = Future()
+            f.set_exception(KeyError(f"unknown model {model!r}"))
+            return f
+        return self._admit(_Request("predict", model, [text], None, k,
+                                    priority=priority, deadline=deadline))
+
+    def predict(self, text: str, k: int = 5, timeout: Optional[float] = None,
+                priority: int = 0, deadline_ms: Optional[float] = None,
+                model: str = "default"):
+        return self.submit_predict(
+            text, k, priority=priority, deadline_ms=deadline_ms, model=model,
+        ).result(timeout=timeout)
+
+    def submit_add_examples(self, texts: List[str], labels: List[str],
+                            model: str = "default") -> "Future":
+        if model not in self.classifiers:
+            f: Future = Future()
+            f.set_exception(KeyError(f"unknown model {model!r}"))
+            return f
+        return self._admit(_Request("add", model, list(texts), list(labels), 0))
 
     # -- worker ---------------------------------------------------------
+    def _take(self, timeout: Optional[float]) -> Optional[_Request]:
+        """Next request from holdover or channel; expired ones resolve to
+        DeadlineExceeded immediately and are never returned."""
+        while True:
+            if self._held is not None:
+                req, self._held = self._held, None
+            else:
+                req = self._chan.get(timeout=timeout)  # may raise queue.Empty
+            if req is not None and req.expired():
+                self.requests_expired += 1
+                req.future.set_exception(DeadlineExceeded("deadline exceeded in queue"))
+                self._done(1)
+                continue
+            return req
+
     def _collect(self) -> List[_Request]:
         """Block for one request, then coalesce more until the batch fills
-        or max_wait elapses.  Training requests act as batch barriers
-        (single-writer model): a mixed pickup defers the odd one out to the
-        holdover slot for the next batch."""
-        if self._held is not None:
-            first, self._held = self._held, None
-        else:
-            first = self._queue.get()
-            if first is None:
-                self._queue.task_done()  # balance the sentinel's put()
-                return []
+        or max_wait elapses.  Batches never mix kinds or models (training
+        acts as a barrier — single-writer model); the odd one out goes to
+        the holdover slot for the next batch."""
+        try:
+            first = self._take(timeout=None)
+        except queue.Empty:  # pragma: no cover — no timeout on first take
+            return []
+        if first is None:
+            return []
         batch = [first]
         if first.kind != "predict":
             return batch
@@ -119,13 +247,12 @@ class BatchingClassifierServer:
             if remaining <= 0:
                 break
             try:
-                nxt = self._queue.get(timeout=remaining)
+                nxt = self._take(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
-                self._queue.task_done()  # balance the sentinel's put()
                 break
-            if nxt.kind != "predict":
+            if nxt.kind != "predict" or nxt.model != first.model:
                 self._held = nxt
                 break
             batch.append(nxt)
@@ -137,21 +264,22 @@ class BatchingClassifierServer:
             if not batch:
                 continue
             try:
+                clf = self.classifiers[batch[0].model]
                 if batch[0].kind == "add":
                     req = batch[0]
                     try:
-                        self.classifier.add_examples(req.texts, req.labels)
+                        clf.add_examples(req.texts, req.labels)
                         req.future.set_result(True)
                     except Exception as e:
                         req.future.set_exception(e)
                     finally:
-                        self._queue.task_done()
+                        self._done(1)
                     continue
 
                 texts = [r.texts[0] for r in batch]
                 k = max(r.k for r in batch)
                 try:
-                    results = self.classifier.predict_batch(
+                    results = clf.predict_batch(
                         texts, k=k, batch_size=self.max_batch_size
                     )
                     for r, res in zip(batch, results):
@@ -161,8 +289,7 @@ class BatchingClassifierServer:
                         if not r.future.done():
                             r.future.set_exception(e)
                 finally:
-                    for _ in batch:
-                        self._queue.task_done()
+                    self._done(len(batch))
                 self.batches_run += 1
                 self.requests_served += len(batch)
             except Exception:  # pragma: no cover — keep the worker alive
@@ -173,8 +300,37 @@ class BatchingClassifierServer:
         return {
             "batches_run": self.batches_run,
             "requests_served": self.requests_served,
+            "requests_shed": self.requests_shed,
+            "requests_expired": self.requests_expired,
             "mean_batch_size": (
                 self.requests_served / self.batches_run if self.batches_run else 0.0
             ),
-            "queue_depth": self._queue.qsize(),
+            "queue_depth": self._chan.qsize(),
+            "models": sorted(self.classifiers),
         }
+
+
+class MultiTenantServer(BatchingClassifierServer):
+    """Several classifiers on one chip behind one scheduler.
+
+    >>> server = MultiTenantServer({"intent": clf_a, "sentiment": clf_b})
+    >>> server.start()
+    >>> server.submit_predict("hello", model="sentiment").result()
+
+    Scheduling is priority-then-FIFO across tenants; a device batch never
+    mixes models (each tenant's memory/head are separate device buffers),
+    so interleaved traffic costs one batch boundary per model switch —
+    sustained per-tenant streams batch as well as a dedicated server.
+    """
+
+    def __init__(self, classifiers: Dict[str, object], **kwargs):
+        if not classifiers:
+            raise ValueError("MultiTenantServer needs at least one classifier")
+        super().__init__(classifiers=classifiers, **kwargs)
+
+    def add_model(self, name: str, classifier) -> None:
+        """Register a tenant (safe while serving: dict writes are atomic,
+        and the worker only reads entries for requests already admitted)."""
+        if name in self.classifiers:
+            raise ValueError(f"model {name!r} already registered")
+        self.classifiers[name] = classifier

@@ -68,3 +68,97 @@ def test_stop_and_restart(server_clf):
     server.start()
     assert server.predict("dog:1", k=1, timeout=30)
     server.stop()
+
+
+# ---------------------------------------------------------------------------
+# QoS tier (round 2): priorities, deadlines/shedding, multi-tenancy
+# ---------------------------------------------------------------------------
+
+def test_priority_orders_queued_work(server_clf):
+    """With the worker busy, a high-priority request leapfrogs the backlog."""
+    from adaptive_classifier_tpu.serving import _PriorityChannel, _Request
+
+    chan = _PriorityChannel()
+    order = []
+    for i, prio in enumerate([0, 0, 5, 1]):
+        chan.put(_Request("predict", "default", [f"t{i}"], None, 1, priority=prio))
+    while chan.qsize():
+        order.append(chan.get().texts[0])
+    assert order == ["t2", "t3", "t0", "t1"]  # prio desc, FIFO within level
+
+
+def test_deadline_expired_requests_are_shed(server_clf):
+    from adaptive_classifier_tpu.serving import DeadlineExceeded
+
+    server = BatchingClassifierServer(server_clf, max_wait_ms=1)
+    # enqueue BEFORE starting the worker so the deadline lapses in queue
+    fut = server.submit_predict("cat:1", k=1, deadline_ms=5)
+    time.sleep(0.05)
+    server.start()
+    with pytest.raises(DeadlineExceeded):
+        fut.result(timeout=30)
+    assert server.requests_expired == 1
+    live = server.submit_predict("cat:2", k=1, deadline_ms=60_000)
+    assert live.result(timeout=30)[0][0] == "cat"
+    server.stop()
+
+
+def test_overload_shedding_at_admission(server_clf):
+    from adaptive_classifier_tpu.serving import ServerOverloaded
+
+    server = BatchingClassifierServer(server_clf, max_queue_depth=2)
+    # worker not started: queue fills to the cap, then sheds
+    f1 = server.submit_predict("cat:1", k=1)
+    f2 = server.submit_predict("cat:2", k=1)
+    f3 = server.submit_predict("cat:3", k=1)
+    with pytest.raises(ServerOverloaded):
+        f3.result(timeout=1)
+    assert server.requests_shed == 1
+    server.start()
+    assert f1.result(timeout=30)[0][0] == "cat"
+    assert f2.result(timeout=30)[0][0] == "cat"
+    server.stop()
+
+
+def test_multi_tenant_routes_by_model(synth_classifier_factory):
+    from adaptive_classifier_tpu.serving import MultiTenantServer
+
+    clf_a = synth_classifier_factory()
+    clf_a.add_examples([f"cat:{i}" for i in range(4)] + [f"dog:{i}" for i in range(4)],
+                       ["cat"] * 4 + ["dog"] * 4)
+    clf_b = synth_classifier_factory()
+    clf_b.add_examples([f"spam:{i}" for i in range(4)] + [f"ham:{i}" for i in range(4)],
+                       ["spam"] * 4 + ["ham"] * 4)
+
+    with MultiTenantServer({"animals": clf_a, "mail": clf_b}, max_wait_ms=5) as server:
+        fa = [server.submit_predict(f"cat:{i+10}", k=1, model="animals") for i in range(3)]
+        fb = [server.submit_predict(f"spam:{i+10}", k=1, model="mail") for i in range(3)]
+        assert all(f.result(timeout=60)[0][0] == "cat" for f in fa)
+        assert all(f.result(timeout=60)[0][0] == "spam" for f in fb)
+        bad = server.submit_predict("x", model="nope")
+        with pytest.raises(KeyError):
+            bad.result(timeout=1)
+    stats = server.stats()
+    assert stats["requests_served"] == 6
+    assert stats["models"] == ["animals", "mail"]
+
+
+def test_multi_tenant_add_model_and_training(synth_classifier_factory):
+    from adaptive_classifier_tpu.serving import MultiTenantServer
+
+    clf_a = synth_classifier_factory()
+    clf_a.add_examples(["cat:0", "dog:0", "cat:1", "dog:1"],
+                       ["cat", "dog", "cat", "dog"])
+    server = MultiTenantServer({"animals": clf_a})
+    server.start()
+    clf_b = synth_classifier_factory()
+    server.add_model("colors", clf_b)
+    add = server.submit_add_examples(
+        ["red:0", "blue:0", "red:1", "blue:1"],
+        ["red", "blue", "red", "blue"], model="colors")
+    assert add.result(timeout=60) is True
+    res = server.submit_predict("red:7", k=1, model="colors").result(timeout=60)
+    assert res[0][0] == "red"
+    with pytest.raises(ValueError):
+        server.add_model("animals", clf_b)
+    server.stop()
