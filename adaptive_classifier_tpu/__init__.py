@@ -15,7 +15,8 @@ from .ewc import EWC
 from .memory import PrototypeMemory
 from .models.head import AdaptiveHead, MultiLabelAdaptiveHead
 from .multilabel import MultiLabelAdaptiveClassifier
-from .serving import BatchingClassifierServer
+from .calibration import TemperatureScaler, expected_calibration_error
+from .serving import BatchingClassifierServer, MultiTenantServer
 
 __version__ = "0.1.0"
 
@@ -29,6 +30,9 @@ __all__ = [
     "PrototypeMemory",
     "EWC",
     "BatchingClassifierServer",
+    "MultiTenantServer",
+    "TemperatureScaler",
+    "expected_calibration_error",
 ]
 
 

@@ -90,6 +90,9 @@ class AdaptiveClassifier:
         #: opt-in stage profiling (utils/profiling.py); None = off
         self.timers = None
 
+        #: fitted TemperatureScaler (calibration.py); None until calibrate()
+        self._temperature_scaler = None
+
         # Strategic components (classifier.py:105-112)
         self.strategic_cost_function: Optional[StrategicCostFunction] = None
         self.strategic_optimizer: Optional[StrategicOptimizer] = None
@@ -487,6 +490,70 @@ class AdaptiveClassifier:
             )
 
         return self._device_predict_rows(texts, fuse_dev, kk, k)
+
+    def predict_proba(
+        self, texts, calibrated: bool = False,
+    ) -> Tuple[np.ndarray, List[str]]:
+        """Full fused probability distribution per text.
+
+        Returns ``(probs [N, n_classes], labels)`` where column ``i`` is
+        ``labels[i]`` and rows sum to 1 — the ``_predict_regular``
+        per-label-weight fusion semantics (reference classifier.py:415-480)
+        returned whole instead of top-k'd.  With ``calibrated=True`` the
+        temperature fitted by :meth:`calibrate` is applied.
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        if not texts:
+            raise ValueError("Empty input batch")
+        n_classes = len(self.label_to_id)
+        labels = [self.id_to_label[i] for i in range(n_classes)]
+        if n_classes == 0:
+            return np.zeros((len(texts), 0), np.float32), labels
+
+        state = self.memory.state
+        active = self._active_mask()
+        pw, hw = self._history_weights()
+        has_head = self.head_params is not None
+
+        overridden = (
+            "_get_embeddings" in self.__dict__
+            or type(self)._get_embeddings is not AdaptiveClassifier._get_embeddings
+        )
+
+        def dist(emb):
+            return fusion.fuse_dist_from_emb(
+                emb, state.proto, state.valid, self.head_params, active,
+                pw, hw, has_head,
+                pallas_min_classes=self.config.pallas_knn_min_classes,
+            )
+
+        parts = []
+        if overridden:
+            emb = jnp.asarray(
+                np.asarray(self._get_embeddings(texts), np.float32))
+            parts.append(dist(emb))
+        else:
+            for emb, n in self._embed_chunks_device(texts):
+                parts.append(dist(emb)[:n])
+        probs = np.asarray(jnp.concatenate(parts, axis=0))[:, :n_classes]
+
+        if calibrated:
+            if self._temperature_scaler is None:
+                raise RuntimeError(
+                    "predict_proba(calibrated=True) needs calibrate() first")
+            probs = self._temperature_scaler.transform(probs)
+        return probs, labels
+
+    def calibrate(self, texts: List[str], labels: List[str]) -> dict:
+        """Fit a temperature on held-out labeled data (calibration.py);
+        returns the before/after NLL + ECE report and arms
+        ``predict_proba(calibrated=True)``."""
+        from .calibration import fit_classifier_temperature
+
+        scaler, report = fit_classifier_temperature(self, texts, labels)
+        self._temperature_scaler = scaler
+        return report
 
     def _device_predict_rows(
         self, texts: List[str], fuse_dev, kk: int, k: int

@@ -121,6 +121,47 @@ def fuse_full_from_emb(
                      k, has_head)
 
 
+@functools.partial(jax.jit, static_argnames=("has_head", "pallas_min_classes"))
+def fuse_dist_from_emb(
+    emb: jax.Array,           # [B, D] normalized embeddings (on device)
+    proto: jax.Array,         # [C, D]
+    proto_valid: jax.Array,   # [C] bool
+    head_params,              # HeadParams or None
+    active: jax.Array,        # [C] bool
+    proto_w: jax.Array,       # [C] per-label weights
+    head_w: jax.Array,        # [C]
+    has_head: bool,
+    pallas_min_classes: int = 512,
+) -> jax.Array:
+    """Full fused probability distribution ``[B, C]`` as one device program.
+
+    The same per-label-weight combination ``fuse_full`` ranks
+    (``_predict_regular`` semantics, reference classifier.py:415-480), but
+    returned whole instead of top-k'd — the ``predict_proba`` surface.
+    Rows sum to 1 over scorable classes; non-scorable columns are 0.
+    """
+    from ..models import head as head_lib
+
+    sims = knn.masked_sims(emb, proto, proto_valid,
+                           pallas_min_classes=pallas_min_classes)
+    if has_head:
+        logits = head_lib.head_forward(head_params, emb, train=False)
+    else:
+        logits = jnp.zeros_like(sims)
+    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
+    combined = proto_scores * proto_w[None, :]
+    if has_head:
+        masked = jnp.where(active[None, :], logits, -1e9)
+        head_probs = jax.nn.softmax(masked, axis=-1)
+        head_probs = jnp.where(active[None, :], head_probs, 0.0)
+        combined = combined + head_probs * head_w[None, :]
+    total = jnp.sum(combined, axis=-1, keepdims=True)
+    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12),
+                         combined)
+    scorable = proto_valid | (active if has_head else jnp.zeros_like(active))
+    return jnp.where(scorable[None, :], combined, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "has_head"))
 def fuse_topk(
     sims: jax.Array,
