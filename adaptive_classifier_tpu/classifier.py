@@ -545,6 +545,22 @@ class AdaptiveClassifier:
             probs = self._temperature_scaler.transform(probs)
         return probs, labels
 
+    def predict_document(
+        self, text: str, k: int = 5,
+        chunk_tokens: Optional[int] = None,
+        overlap: float = 0.25, pool: str = "mean",
+    ) -> List[Tuple[str, float]]:
+        """Classify a document longer than the encoder window by
+        chunk-and-pool (document.py): overlapping token windows embed in one
+        padded device batch, pooled ``mean``/``max``/``vote``.  The reference
+        silently truncates at ``max_length``; this scores all the text."""
+        from . import document
+
+        return document.predict_document(
+            self, text, k=k, chunk_tokens=chunk_tokens,
+            overlap=overlap, pool=pool,
+        )
+
     def calibrate(self, texts: List[str], labels: List[str]) -> dict:
         """Fit a temperature on held-out labeled data (calibration.py);
         returns the before/after NLL + ECE report and arms
