@@ -30,8 +30,10 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def run_json(script: str, args: list[str], out_file: Path) -> dict:
-    cmd = [sys.executable, str(REPO / "scripts" / script),
-           "--json-out", str(out_file)] + args
+    # via run_script.py: puts the repo root on sys.path in-process —
+    # exporting PYTHONPATH instead breaks the TPU plugin's helper process
+    cmd = [sys.executable, str(REPO / "run_script.py"),
+           Path(script).stem, "--json-out", str(out_file)] + args
     print("::", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, cwd=REPO)
     return json.loads(out_file.read_text())
