@@ -571,6 +571,86 @@ class AdaptiveClassifier:
         self._temperature_scaler = scaler
         return report
 
+    def finetune_encoder(
+        self,
+        steps: int = 400,
+        lr: float = 3e-5,
+        batch: int = 32,
+        temperature: float = 0.1,
+        view_mask_prob: float = 0.08,
+        chunk_steps: int = 50,
+    ) -> Dict[str, Any]:
+        """Adapt the encoder to the stored examples (supervised contrastive).
+
+        Beyond-reference capability: the reference's encoder is frozen
+        forever (classifier.py:58-85), so its quality is capped by the
+        pretrained embedding space.  This runs SupCon fine-tuning
+        (finetune.py) over the examples already stored via ``add_examples``
+        — same-label texts pull together, different labels push apart —
+        then re-embeds the memory and retrains the head on the new space.
+
+        Runs as scanned jitted chunks on device (``chunk_steps`` steps per
+        dispatch).  Total steps are rounded up to a whole number of chunks.
+        Returns ``{"steps", "chunk_losses", "final_loss"}``.
+        """
+        if self.encoder.quantization == "int8":
+            raise ValueError(
+                "finetune_encoder requires float encoder params; construct "
+                "the classifier with quantization=None and quantize after "
+                "fine-tuning (quantization.py)"
+            )
+        texts: List[str] = []
+        labels: List[str] = []
+        for lbl, ts in self.memory.texts.items():
+            texts += ts
+            labels += [lbl] * len(ts)
+        if not texts:
+            raise ValueError("no stored examples to fine-tune on")
+
+        from . import finetune as _ft
+        from . import training as _tr
+
+        ids, mask = self.encoder.tokenizer(
+            texts, max_length=self.config.max_length,
+            pad_to_buckets=self.encoder.SEQ_BUCKETS,
+        )
+        y = np.asarray([self.label_to_id[l] for l in labels], np.int32)
+        vocab = getattr(self.encoder.tokenizer, "vocab", None) or {}
+        mask_id = vocab.get("[MASK]", vocab.get("[UNK]", 1))
+
+        params = self.encoder.params
+        opt = _tr.adamw_init(params)
+        ids_dev = jnp.asarray(ids)
+        attn_dev = jnp.asarray(mask)
+        y_dev = jnp.asarray(y)
+        n_chunks = max((steps + chunk_steps - 1) // chunk_steps, 1)
+        losses = []
+        for _ in range(n_chunks):
+            params, opt, loss = _ft.supcon_chunk(
+                params, opt, ids_dev, attn_dev, y_dev, self._next_key(),
+                self.encoder.config, int(mask_id), int(batch),
+                int(chunk_steps), lr=float(lr),
+                temperature=float(temperature),
+                view_mask_prob=float(view_mask_prob),
+            )
+            losses.append(float(loss))
+
+        self.encoder.params = params
+        self.encoder._finetuned = True   # save() persists adapted weights
+        # every cached embedding is stale now
+        if getattr(self, "_emb_cache", None) is not None:
+            self._emb_cache.clear()
+        if getattr(self, "_dev_cache", None) is not None:
+            self._dev_cache.clear()
+        self.memory.reembed(self._get_embeddings)
+        if self.head_params is not None:
+            self._train_adaptive_head()
+        return {
+            "steps": n_chunks * chunk_steps,
+            "chunk_losses": [round(l, 4) for l in losses],
+            "final_loss": round(losses[-1], 4),
+        }
+
     def _device_predict_rows(
         self, texts: List[str], fuse_dev, kk: int, k: int
     ) -> List[List[Tuple[str, float]]]:

@@ -302,6 +302,30 @@ class PrototypeMemory:
                 keep = order_np[slot, : min(len(ts), max_ex)]
                 self.texts[label] = [ts[i] for i in keep if i < len(ts)]
 
+    def reembed(self, embed_fn):
+        """Recompute every stored embedding with a new embedding function.
+
+        Encoder fine-tuning (classifier.finetune_encoder) invalidates all
+        stored vectors; this rebuilds the device buffers from the host text
+        lists while keeping label registrations, so memory slot ids keep
+        matching classifier label ids.  No reference analog — the
+        reference's encoder is frozen forever, so its memory never goes
+        stale (SURVEY.md §2.1 PrototypeMemory)."""
+        with self._write_lock:
+            texts_by_label = {l: list(ts) for l, ts in self.texts.items()}
+            C, E, D = self.state.emb.shape
+            self.state = init_state(C, E, D)
+            self.strategic_prototypes.clear()
+            all_texts: List[str] = []
+            all_labels: List[str] = []
+            for l, ts in texts_by_label.items():
+                self.texts[l] = []
+                all_texts += ts
+                all_labels += [l] * len(ts)
+            if all_texts:
+                embs = np.asarray(embed_fn(all_texts), np.float32)
+                self._add_batch_locked(all_texts, embs, all_labels)
+
     def clear(self):
         """Reference memory.py:238-245."""
         C, E, D = self.state.emb.shape

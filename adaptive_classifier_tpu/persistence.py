@@ -87,6 +87,34 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
         "model_card": "README.md",
     }
 
+    # fine-tuned encoder weights (classifier.finetune_encoder): without
+    # persisting them, load() would rebuild the encoder from model_name and
+    # silently discard the adaptation.  HF-layout subdir so Encoder(path)
+    # (and transformers) load it directly.  No reference analog — the
+    # reference's encoder is frozen (classifier.py:58-85).
+    if getattr(clf.encoder, "_finetuned", False):
+        try:
+            from .pretrain import save_hf_checkpoint
+
+            vocab = getattr(clf.encoder.tokenizer, "vocab", None)
+            if clf.encoder.config.arch != "bert" or not vocab:
+                raise ValueError(
+                    f"cannot persist a fine-tuned '{clf.encoder.config.arch}' "
+                    f"encoder (HF export supports arch 'bert')"
+                )
+            tokens = [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+            save_hf_checkpoint(
+                clf.encoder.params, clf.encoder.config,
+                save_directory / "encoder", tokens,
+                extra_config={
+                    "ac_finetuned_from": clf.model_name,
+                    "ac_pooling": clf.encoder.config.pooling,
+                },
+            )
+            saved["encoder"] = "encoder/"
+        except Exception as e:
+            logger.warning(f"Fine-tuned encoder not persisted: {e}")
+
     # int8 encoder export — the onnx/ directory analog (on by default like
     # the reference's include_onnx, classifier.py:600-615)
     if include_quantized:
@@ -113,7 +141,12 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         saved_examples = config_dict.get("examples", {})
 
     model_name = config_dict["model_name"]
-    if "/" in model_name and not Path(model_name).exists():
+    embedded_encoder = model_path / "encoder"
+    if (embedded_encoder / "config.json").exists():
+        # checkpoint carries fine-tuned encoder weights — they override the
+        # base model_name (finetune_encoder persistence, see save side)
+        model_name = str(embedded_encoder)
+    elif "/" in model_name and not Path(model_name).exists():
         # a checkpoint may reference a local encoder by a path relative to
         # the repo it was built in (e.g. the committed zoo references
         # checkpoints/ac-tiny); resolve against the checkpoint's ancestors
@@ -128,6 +161,11 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         device=device,
         config=config_dict.get("config", None),
     )
+    if model_name == str(embedded_encoder):
+        # keep the user-facing base-model identity, and mark the encoder so
+        # a re-save persists the adapted weights again
+        clf.model_name = config_dict["model_name"]
+        clf.encoder._finetuned = True
     saved_dim = config_dict.get("embedding_dim")
     if saved_dim is not None and saved_dim != clf.embedding_dim:
         raise ValueError(
