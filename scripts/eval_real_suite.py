@@ -135,8 +135,10 @@ def main():
     report["hallucination"] = {
         "ours": halluc,
         "reference_baseline": {
-            "note": "RAGTruth overall (README.md:70)",
+            "note": "RAGTruth overall + per-task F1 (README.md:67-70)",
             "precision": 0.4089, "recall": 0.8068, "f1": 0.5154,
+            "per_task_f1": {"QA": 0.3974, "Summary": 0.3609,
+                            "Data2txt": 0.7879},
         },
     }
 

@@ -50,20 +50,39 @@ def synthetic_dataset(n=120, seed=7):
 
 def load_real():
     """Frozen real-English RAGTruth-style set (data/hallucination.json):
-    context+response pairs labeled FAITHFUL/HALLUCINATED."""
+    context+response pairs labeled FAITHFUL/HALLUCINATED, tagged with the
+    RAGTruth task type (QA / Summary / Data2txt) so per-task F1 can be
+    reported like the reference (reference README.md:67-69)."""
     from pathlib import Path
 
     blob = json.loads((Path(__file__).resolve().parent.parent
                        / "data" / "hallucination.json").read_text())
 
     def rows(split):
-        return [{"context": d["context"], "question": "",
+        return [{"context": d["context"], "question": d.get("question", ""),
                  "answer": d["response"],
                  "label": "HALLUCINATED" if d["label"] == "HALLUCINATED"
-                 else "NOT_HALLUCINATED"}
+                 else "NOT_HALLUCINATED",
+                 "task": d.get("task", "Summary")}
                 for d in blob[split]]
 
     return rows("train"), rows("test")
+
+
+def prf(rows):
+    """precision/recall/F1/accuracy over (is_positive, predicted_positive)."""
+    tp = sum(p and h for p, h in rows)
+    fp = sum((not p) and h for p, h in rows)
+    fn = sum(p and not h for p, h in rows)
+    tn = sum((not p) and not h for p, h in rows)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    return {
+        "precision": round(precision, 4), "recall": round(recall, 4),
+        "f1": round(2 * precision * recall / max(precision + recall, 1e-9), 4),
+        "accuracy": round((tp + tn) / max(len(rows), 1), 4),
+        "n": len(rows),
+    }
 
 
 def main():
@@ -97,28 +116,25 @@ def main():
         [d["label"] for d in train],
     )
 
-    tp = fp = fn = tn = 0
     preds = clf.predict_batch(
         [format_input(d["context"], d["question"], d["answer"]) for d in test], k=1
     )
+    outcomes = []   # (is_positive, predicted_positive, task)
     for d, p in zip(test, preds):
         pred = p[0][0] if p else "NOT_HALLUCINATED"
-        pos = d["label"] == "HALLUCINATED"
-        hit = pred == "HALLUCINATED"
-        tp += pos and hit
-        fp += (not pos) and hit
-        fn += pos and not hit
-        tn += (not pos) and not hit
-    precision = tp / max(tp + fp, 1)
-    recall = tp / max(tp + fn, 1)
-    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+        outcomes.append((d["label"] == "HALLUCINATED",
+                         pred == "HALLUCINATED", d.get("task")))
     report = {
         "data": args.data, "model": args.model,
-        "precision": round(precision, 4), "recall": round(recall, 4),
-        "f1": round(f1, 4),
-        "accuracy": round((tp + tn) / max(len(test), 1), 4),
+        **{k: v for k, v in prf([(p, h) for p, h, _ in outcomes]).items()
+           if k != "n"},
         "n_train": len(train), "n_eval": len(test),
     }
+    tasks = sorted({t for _, _, t in outcomes if t})
+    if tasks:   # per-task F1 like the reference's QA/Summarization/Data-to-Text split
+        report["per_task"] = {
+            t: prf([(p, h) for p, h, tt in outcomes if tt == t]) for t in tasks
+        }
     print(json.dumps(report, indent=2))
     if args.json_out:
         from pathlib import Path
