@@ -573,7 +573,7 @@ class AdaptiveClassifier:
 
     def finetune_encoder(
         self,
-        steps: int = 400,
+        steps: int = 200,
         lr: float = 3e-5,
         batch: int = 32,
         temperature: float = 0.1,

@@ -305,7 +305,12 @@ def to_hf_state_dict(params: Dict[str, Any], cfg: EncoderConfig) -> Dict[str, np
     for i in range(cfg.num_layers):
         base = f"bert.encoder.layer.{i}."
         for key in ("q", "k", "v", "o", "ffn_in", "ffn_out"):
-            sd[base + names[key] + ".weight"] = lay[f"{key}_w"][i].T  # [out, in]
+            # ascontiguousarray is load-bearing: safetensors' numpy writer
+            # serializes the UNDERLYING BUFFER of a non-contiguous view with
+            # the view's shape metadata — a silent transpose corruption
+            # (tests/test_pretrain.py::test_safetensors_transposed_view_roundtrip)
+            sd[base + names[key] + ".weight"] = np.ascontiguousarray(
+                lay[f"{key}_w"][i].T)  # [out, in]
             sd[base + names[key] + ".bias"] = lay[f"{key}_b"][i]
         for key in ("attn_ln", "ffn_ln"):
             sd[base + names[key] + ".weight"] = lay[f"{key}_scale"][i]

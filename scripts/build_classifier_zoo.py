@@ -58,10 +58,12 @@ def dataset_specs():
             "description": "LOW/HIGH model-routing by query complexity",
         },
         "hallucination-detector": {
-            "train": [(f"Context: {d['context']}\nQuestion: \nAnswer: {d['response']}",
+            "train": [(f"Context: {d['context']}\nQuestion: {d.get('question', '')}\n"
+                       f"Answer: {d['response']}",
                        "HALLUCINATED" if d["label"] == "HALLUCINATED"
                        else "NOT_HALLUCINATED") for d in halluc["train"]],
-            "test": [(f"Context: {d['context']}\nQuestion: \nAnswer: {d['response']}",
+            "test": [(f"Context: {d['context']}\nQuestion: {d.get('question', '')}\n"
+                      f"Answer: {d['response']}",
                       "HALLUCINATED" if d["label"] == "HALLUCINATED"
                       else "NOT_HALLUCINATED") for d in halluc["test"]],
             "description": "RAGTruth-style context/answer faithfulness",
@@ -73,6 +75,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--out", default="checkpoints/zoo")
+    ap.add_argument("--finetune-steps", type=int, default=0,
+                    help="per-classifier SupCon encoder fine-tuning steps "
+                         "(classifier.finetune_encoder); 0 = frozen encoder")
+    ap.add_argument("--finetune-lr", type=float, default=3e-5)
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
@@ -89,6 +95,11 @@ def main():
         clf = AdaptiveClassifier(model)
         clf.add_examples([t for t, _ in spec["train"]],
                          [l for _, l in spec["train"]])
+        if args.finetune_steps > 0:
+            rep = clf.finetune_encoder(steps=args.finetune_steps,
+                                       lr=args.finetune_lr)
+            print(f"    finetuned {rep['steps']} steps, "
+                  f"loss {rep['final_loss']}")
         preds = clf.predict_batch([t for t, _ in spec["test"]], k=1)
         acc = sum(1 for (t, l), p in zip(spec["test"], preds)
                   if p and p[0][0] == l) / len(spec["test"])

@@ -91,8 +91,12 @@ def main():
 
     strategic = run_json("eval_strategic.py", ["--model", model],
                          tmp / "strategic.json")
+    strategic_ft = run_json("eval_strategic.py",
+                            ["--model", model, "--finetune-steps", "150"],
+                            tmp / "strategic_ft.json")
     report["strategic"] = {
         "ours": strategic,
+        "ours_finetuned": strategic_ft,
         "reference_baseline": {
             "note": "adv_glue/adv_sst2 (README.md:56-60)",
             "regular_clean": 0.80, "regular_adv": 0.60,
@@ -132,8 +136,13 @@ def main():
     halluc = run_json("train_hallucination_detector.py",
                       ["--model", model, "--out", str(tmp / "halluc_model")],
                       tmp / "halluc.json")
+    halluc_ft = run_json("train_hallucination_detector.py",
+                         ["--model", model, "--finetune-steps", "150",
+                          "--out", str(tmp / "halluc_model_ft")],
+                         tmp / "halluc_ft.json")
     report["hallucination"] = {
         "ours": halluc,
+        "ours_finetuned": halluc_ft,
         "reference_baseline": {
             "note": "RAGTruth overall + per-task F1 (README.md:67-70)",
             "precision": 0.4089, "recall": 0.8068, "f1": 0.5154,

@@ -142,6 +142,10 @@ def main():
     ap.add_argument("--cost-strategy", default="uniform_low",
                     choices=["uniform_low", "balanced", "sparse_low"])
     ap.add_argument("--train-frac", type=float, default=0.5)
+    ap.add_argument("--finetune-steps", type=int, default=0,
+                    help="SupCon encoder fine-tuning steps on the training "
+                         "examples (classifier.finetune_encoder); 0 = frozen "
+                         "encoder like the reference")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -165,6 +169,8 @@ def main():
         model = str(REPO / model)   # repo-relative checkpoint path
     regular = AdaptiveClassifier(model)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
+    if args.finetune_steps:
+        regular.finetune_encoder(steps=args.finetune_steps)
 
     dim = regular.embedding_dim
     strategic = AdaptiveClassifier(model, config={
@@ -180,6 +186,11 @@ def main():
         part = train[s : s + chunk]
         strategic.add_examples([d["text"] for d in part],
                                [d["label"] for d in part])
+    if args.finetune_steps:
+        strategic.finetune_encoder(steps=args.finetune_steps)
+        # head retraining inside finetune_encoder is plain CE — re-run one
+        # strategic pass so the head is robustness-trained on the new space
+        strategic._perform_strategic_training()
 
     def batch_preds(clf, rows, mode="predict"):
         if mode == "robust":

@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--out", default="./hallucination-detector")
     ap.add_argument("--eval-frac", type=float, default=0.3)
+    ap.add_argument("--finetune-steps", type=int, default=0,
+                    help="SupCon encoder fine-tuning steps "
+                         "(classifier.finetune_encoder); 0 = frozen encoder")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -115,6 +118,8 @@ def main():
         [format_input(d["context"], d["question"], d["answer"]) for d in train],
         [d["label"] for d in train],
     )
+    if args.finetune_steps:
+        clf.finetune_encoder(steps=args.finetune_steps)
 
     preds = clf.predict_batch(
         [format_input(d["context"], d["question"], d["answer"]) for d in test], k=1

@@ -96,3 +96,25 @@ def test_save_checkpoint_loads_in_encoder(tmp_path):
     assert enc.config.hidden_size == CFG.hidden_size
     e = enc.embed(["tok1 tok2 tok3"])
     assert np.isfinite(np.asarray(e)).all()
+
+
+def test_safetensors_transposed_view_roundtrip(tmp_path):
+    """Checkpoint params must survive the FILE round-trip bit-exactly.
+
+    Regression: safetensors' numpy writer serializes the underlying buffer
+    of a non-contiguous view (e.g. ``w.T``) with the view's shape metadata —
+    every transposed weight written by an exporter that forgets
+    ``ascontiguousarray`` loads back silently transposed.  The in-memory
+    roundtrip test above cannot catch this; only the file path does."""
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    params = init_params(5, CFG)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(59)]
+    out = pretrain.save_hf_checkpoint(params, CFG, tmp_path / "ck", vocab)
+    enc = Encoder(str(out))
+    for section in ("embeddings", "layers"):
+        for name, val in params[section].items():
+            np.testing.assert_allclose(
+                np.asarray(enc.params[section][name]), np.asarray(val),
+                atol=1e-6, err_msg=f"{section}.{name}")

@@ -157,8 +157,13 @@ def test_new_class_accuracy_preservation_real_text():
 
 
 def test_full_classifier_loop_real_weights(tmp_path):
-    """add → predict → save → load with real weights and the real
-    tokenizer — zero monkeypatching anywhere."""
+    """add → finetune → predict → save → load with real weights and the
+    real tokenizer — zero monkeypatching anywhere.
+
+    The frozen ac-tiny encoder is pretrained on software-doc English, so
+    sentiment register is out-of-domain and frozen accuracy hovers near
+    chance; finetune_encoder is the framework's answer (measured on
+    ac-small: 0.50 frozen → 0.75 finetuned at 150 steps)."""
     from adaptive_classifier_tpu import AdaptiveClassifier
 
     blob = json.loads((Path(__file__).resolve().parent.parent
@@ -171,16 +176,14 @@ def test_full_classifier_loop_real_weights(tmp_path):
     labels = (["positive"] * len(blob["train"]["positive"])
               + ["negative"] * len(blob["train"]["negative"]))
     clf.add_examples(texts, labels)
+    clf.finetune_encoder(steps=150)
 
     test_rows = ([(t, "positive") for t in blob["test"]["positive"]]
                  + [(t, "negative") for t in blob["test"]["negative"]])
     preds = clf.predict_batch([t for t, _ in test_rows], k=1)
     acc = sum(1 for (t, lbl), p in zip(test_rows, preds)
               if p and p[0][0] == lbl) / len(test_rows)
-    # measured 0.528 with the offline-domain ac-tiny encoder (sentiment
-    # vocabulary is scarce in software docs); the loop itself — real
-    # weights, real tokenizer, zero monkeypatching — is what this guards
-    assert acc >= 0.50, f"real-text sentiment accuracy {acc}"
+    assert acc >= 0.55, f"real-text sentiment accuracy {acc}"
 
     out = tmp_path / "real_clf"
     clf.save(str(out))
