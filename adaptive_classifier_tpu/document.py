@@ -11,8 +11,10 @@ pools:
   renormalized, then the classifier's normal fusion.  One fused predict per
   document; the pooled vector lives in the same embedding space the
   prototypes were built from.
-- ``pool="max"``  — elementwise max over window embeddings (salient-feature
-  union), renormalized.
+- ``pool="max"``  — per-class max of the per-window fused distributions,
+  renormalized ("any window says X strongly"); the standard salient-window
+  semantic.  (An earlier elementwise-max over *embeddings* pooled into a
+  region of embedding space no prototype lives in and was near-tie fragile.)
 - ``pool="vote"`` — every window predicts separately (one batched fusion),
   label scores average across windows; robust when one window's topic
   should not dilute another's.
@@ -113,19 +115,22 @@ def predict_document(
 
     emb, counts = embed_document(clf, text, chunk_tokens, overlap)
 
-    if pool == "vote":
-        # one batched full-distribution fusion over all windows, then mean
+    if pool in ("vote", "max"):
+        # one batched full-distribution fusion over all windows
         probs_rows = _window_distributions(clf, emb)
-        mean = probs_rows.mean(axis=0)
-        order = np.argsort(-mean)[:k]
-        return [(clf.id_to_label[int(i)], float(mean[i]))
-                for i in order if mean[i] > 0 and int(i) in clf.id_to_label]
+        if pool == "vote":
+            agg = probs_rows.mean(axis=0)
+        else:  # max: salient window per class, renormalized
+            agg = probs_rows.max(axis=0)
+            total = agg.sum()
+            if total > 0:
+                agg = agg / total
+        order = np.argsort(-agg)[:k]
+        return [(clf.id_to_label[int(i)], float(agg[i]))
+                for i in order if agg[i] > 0 and int(i) in clf.id_to_label]
 
-    if pool == "mean":
-        w = jnp.asarray(counts)[:, None]
-        pooled = jnp.sum(emb * w, axis=0) / jnp.sum(w)
-    else:  # max
-        pooled = jnp.max(emb, axis=0)
+    w = jnp.asarray(counts)[:, None]
+    pooled = jnp.sum(emb * w, axis=0) / jnp.sum(w)
     norm = jnp.linalg.norm(pooled)
     pooled = pooled / jnp.maximum(norm, 1e-12)
     return clf._predict_from_embedding(pooled, k=k)

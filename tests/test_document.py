@@ -68,11 +68,17 @@ def doc_clf():
     clf.add_examples(
         ["the library compiles kernels for the accelerator and runs tests",
          "install the package with the package manager and import it",
+         "compile the module then execute the benchmark suite",
+         "the runtime schedules work on the device and manages memory",
+         "run the linter and the unit tests before submitting the patch",
+         "the api documentation lists configuration flags and defaults",
          "the train departs from the station every morning at seven",
          "passengers boarded the express service to the coastal city",
-         "compile the module then execute the benchmark suite",
-         "the railway timetable changed after the holiday season"],
-        ["software", "software", "travel", "travel", "software", "travel"],
+         "the railway timetable changed after the holiday season",
+         "the ferry crossing to the island takes about forty minutes",
+         "travelers waited on the platform for the delayed night train",
+         "the scenic route winds through mountain villages and lakes"],
+        ["software"] * 6 + ["travel"] * 6,
     )
     return clf
 
