@@ -593,6 +593,8 @@ class AdaptiveClassifier:
         dispatch).  Total steps are rounded up to a whole number of chunks.
         Returns ``{"steps", "chunk_losses", "final_loss"}``.
         """
+        if steps <= 0:
+            raise ValueError(f"steps must be positive, got {steps}")
         if self.encoder.quantization == "int8":
             raise ValueError(
                 "finetune_encoder requires float encoder params; construct "
@@ -645,6 +647,15 @@ class AdaptiveClassifier:
         self.memory.reembed(self._get_embeddings)
         if self.head_params is not None:
             self._train_adaptive_head()
+        if self.strategic_mode:
+            # plain-CE retraining above discarded the robustness-trained
+            # head; re-run strategic training on the new embedding space
+            # (same as add_examples' periodic pass, classifier.py reference
+            # :196-197)
+            self._perform_strategic_training()
+        # a temperature fitted on the old fused distribution no longer
+        # describes this model — force an explicit re-calibration
+        self._temperature_scaler = None
         return {
             "steps": n_chunks * chunk_steps,
             "chunk_losses": [round(l, 4) for l in losses],

@@ -33,8 +33,19 @@ import jax
 import jax.numpy as jnp
 
 from . import training
-from .models.encoder import EncoderConfig
+from .models.encoder import EncoderConfig, encoder_forward
 from .pretrain import _mean_pool_embed, apply_mlm_masking
+
+
+def _pooled_embed(params, ids, attn, cfg: EncoderConfig) -> jax.Array:
+    """Normalized sentence embedding with the SAME pooling the classifier
+    uses at inference (cfg.pooling) — optimizing a different pooled vector
+    than the one the memory/head consume would train the wrong geometry."""
+    if cfg.pooling == "mean":
+        return _mean_pool_embed(params, ids, attn, cfg)
+    hidden = encoder_forward(params, ids, attn, cfg, jnp.bfloat16)
+    e = hidden[:, 0, :].astype(jnp.float32)   # CLS pooling
+    return e / jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
 
 
 def supcon_loss(params, ids, attn, labels, key, cfg: EncoderConfig,
@@ -46,8 +57,8 @@ def supcon_loss(params, ids, attn, labels, key, cfg: EncoderConfig,
                                  mask_prob=view_mask_prob)
     v2, _, _ = apply_mlm_masking(k2, ids, attn, mask_id, cfg.vocab_size,
                                  mask_prob=view_mask_prob)
-    e = jnp.concatenate([_mean_pool_embed(params, v1, attn, cfg),
-                         _mean_pool_embed(params, v2, attn, cfg)])  # [2B, D]
+    e = jnp.concatenate([_pooled_embed(params, v1, attn, cfg),
+                         _pooled_embed(params, v2, attn, cfg)])  # [2B, D]
     y = jnp.concatenate([labels, labels])                           # [2B]
     n = e.shape[0]
     sims = (e @ e.T) / temperature

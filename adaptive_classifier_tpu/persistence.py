@@ -93,27 +93,29 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
     # (and transformers) load it directly.  No reference analog — the
     # reference's encoder is frozen (classifier.py:58-85).
     if getattr(clf.encoder, "_finetuned", False):
-        try:
-            from .pretrain import save_hf_checkpoint
+        from .pretrain import save_hf_checkpoint
 
-            vocab = getattr(clf.encoder.tokenizer, "vocab", None)
-            if clf.encoder.config.arch != "bert" or not vocab:
-                raise ValueError(
-                    f"cannot persist a fine-tuned '{clf.encoder.config.arch}' "
-                    f"encoder (HF export supports arch 'bert')"
-                )
-            tokens = [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
-            save_hf_checkpoint(
-                clf.encoder.params, clf.encoder.config,
-                save_directory / "encoder", tokens,
-                extra_config={
-                    "ac_finetuned_from": clf.model_name,
-                    "ac_pooling": clf.encoder.config.pooling,
-                },
+        vocab = getattr(clf.encoder.tokenizer, "vocab", None)
+        if clf.encoder.config.arch != "bert" or not vocab:
+            # a checkpoint whose prototypes/head live in the fine-tuned
+            # space but whose encoder reverts to base weights on load is
+            # silently broken — refuse to write it
+            raise ValueError(
+                f"cannot persist the fine-tuned '{clf.encoder.config.arch}' "
+                f"encoder (HF export supports arch 'bert' with a WordPiece "
+                f"vocab); saving without it would produce a checkpoint "
+                f"whose prototypes/head disagree with the encoder on load"
             )
-            saved["encoder"] = "encoder/"
-        except Exception as e:
-            logger.warning(f"Fine-tuned encoder not persisted: {e}")
+        tokens = [t for t, _ in sorted(vocab.items(), key=lambda kv: kv[1])]
+        save_hf_checkpoint(
+            clf.encoder.params, clf.encoder.config,
+            save_directory / "encoder", tokens,
+            extra_config={
+                "ac_finetuned_from": clf.model_name,
+                "ac_pooling": clf.encoder.config.pooling,
+            },
+        )
+        saved["encoder"] = "encoder/"
 
     # int8 encoder export — the onnx/ directory analog (on by default like
     # the reference's include_onnx, classifier.py:600-615)
@@ -273,6 +275,23 @@ def from_pretrained(cls, model_id: str, device: Optional[str] = None,
                 # layout; model.safetensors absence fails below at load
                 if fname == "model.safetensors":
                     raise
+        # fine-tuned encoder subdir (present only after finetune_encoder +
+        # push_to_hub); without it load would silently rebuild the base
+        # encoder while prototypes/head live in the fine-tuned space.
+        # load_classifier detects encoder/config.json on disk itself.
+        try:
+            download_fn(repo_id=model_id, filename="encoder/config.json", **opts)
+        except Exception:
+            pass  # no fine-tuned encoder in this repo
+        else:
+            # repo advertises one — the remaining files are then required
+            for fname in ("encoder/model.safetensors", "encoder/vocab.txt"):
+                download_fn(repo_id=model_id, filename=fname, **opts)
+            try:
+                download_fn(repo_id=model_id,
+                            filename="encoder/tokenizer_config.json", **opts)
+            except Exception:
+                pass  # optional (defaults to lowercase WordPiece)
         return load_classifier(cls, Path(os.path.dirname(config_file)), device=device)
     except Exception as e:
         raise ValueError(f"Error loading model from {model_id}: {e}")

@@ -187,10 +187,9 @@ def main():
         strategic.add_examples([d["text"] for d in part],
                                [d["label"] for d in part])
     if args.finetune_steps:
+        # finetune_encoder re-runs strategic training internally for
+        # strategic-mode classifiers
         strategic.finetune_encoder(steps=args.finetune_steps)
-        # head retraining inside finetune_encoder is plain CE — re-run one
-        # strategic pass so the head is robustness-trained on the new space
-        strategic._perform_strategic_training()
 
     def batch_preds(clf, rows, mode="predict"):
         if mode == "robust":

@@ -170,6 +170,52 @@ class TestClassifierFinetune:
         clf2.save(str(out2))
         assert (out2 / "encoder" / "model.safetensors").exists()
 
+    def test_hub_path_fetches_finetuned_encoder(self, tmp_path):
+        """from_pretrained with an injected downloader must fetch the
+        encoder/ subdir so a Hub round-trip keeps the adapted weights
+        (without it, load silently rebuilds the base encoder while the
+        prototypes/head live in the fine-tuned space)."""
+        clf = self._make(embedding_cache_size=0)
+        clf.add_examples(["billing question", "password reset"],
+                         ["billing", "password"])
+        clf.finetune_encoder(steps=10, chunk_steps=10, batch=4)
+        src = tmp_path / "repo"
+        clf.save(str(src))
+        cache = tmp_path / "hub_cache"
+
+        def fake_download(repo_id, filename, **kw):
+            f = src / filename
+            if not f.exists():
+                raise FileNotFoundError(filename)
+            dst = cache / filename
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            dst.write_bytes(f.read_bytes())
+            return str(dst)
+
+        clf2 = AdaptiveClassifier.from_pretrained(
+            "org/ft-model", download_fn=fake_download)
+        assert getattr(clf2.encoder, "_finetuned", False)
+        np.testing.assert_allclose(
+            np.asarray(clf.encoder.params["embeddings"]["word"]),
+            np.asarray(clf2.encoder.params["embeddings"]["word"]), atol=1e-6)
+
+    def test_rejects_nonpositive_steps(self):
+        clf = self._make()
+        clf.add_examples(["a"], ["x"])
+        with pytest.raises(ValueError, match="positive"):
+            clf.finetune_encoder(steps=0)
+
+    def test_resets_temperature_scaler(self):
+        clf = self._make()
+        clf.add_examples(["billing one", "billing two", "password one",
+                          "password two"],
+                         ["billing", "billing", "password", "password"])
+        clf.calibrate(["billing three", "password three"],
+                      ["billing", "password"])
+        assert clf._temperature_scaler is not None
+        clf.finetune_encoder(steps=10, chunk_steps=10, batch=4)
+        assert clf._temperature_scaler is None
+
     def test_requires_examples(self):
         clf = self._make()
         with pytest.raises(ValueError, match="no stored examples"):
