@@ -579,6 +579,7 @@ class AdaptiveClassifier:
         temperature: float = 0.1,
         view_mask_prob: float = 0.08,
         chunk_steps: int = 50,
+        augment: Optional[str] = None,
     ) -> Dict[str, Any]:
         """Adapt the encoder to the stored examples (supervised contrastive).
 
@@ -591,6 +592,10 @@ class AdaptiveClassifier:
 
         Runs as scanned jitted chunks on device (``chunk_steps`` steps per
         dispatch).  Total steps are rounded up to a whole number of chunks.
+        ``augment="typo"`` adds a character-typo-corrupted copy of every
+        training text (finetune.typo_augment) — the encoder learns that a
+        word and its misspelling mean the same thing, hardening it against
+        typo-level adversarial perturbations.
         Returns ``{"steps", "chunk_losses", "final_loss"}``.
         """
         if steps <= 0:
@@ -611,6 +616,14 @@ class AdaptiveClassifier:
 
         from . import finetune as _ft
         from . import training as _tr
+
+        if augment == "typo":
+            import random as _random
+
+            texts, labels = _ft.typo_augment(
+                texts, labels, _random.Random(self.seed))
+        elif augment is not None:
+            raise ValueError(f"unknown augment {augment!r} (use 'typo')")
 
         ids, mask = self.encoder.tokenizer(
             texts, max_length=self.config.max_length,

@@ -73,6 +73,27 @@ def supcon_loss(params, ids, attn, labels, key, cfg: EncoderConfig,
     return jnp.sum(per_anchor * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
 
 
+def typo_augment(texts, labels, rng, copies: int = 1,
+                 word_prob: float = 0.3):
+    """Host-side character-typo augmentation (adjacent-swap inside words
+    ≥4 chars).  Real users' text arrives misspelled — and adversarial
+    perturbations of the adv-SST2 family are exactly such typos — so
+    corrupted copies teach the encoder that a word and its typo'd form
+    mean the same thing.  Labels are preserved; the SupCon loss then pulls
+    a sentence and its corrupted twin together."""
+    out_t, out_l = list(texts), list(labels)
+    for _ in range(copies):
+        for t, l in zip(texts, labels):
+            words = t.split(" ")
+            for i, w in enumerate(words):
+                if len(w) >= 4 and rng.random() < word_prob:
+                    j = rng.randrange(1, len(w) - 2)
+                    words[i] = w[:j] + w[j + 1] + w[j] + w[j + 2:]
+            out_t.append(" ".join(words))
+            out_l.append(l)
+    return out_t, out_l
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mask_id", "batch",
                                              "n_steps", "lr", "temperature",
                                              "view_mask_prob"))

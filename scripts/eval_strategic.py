@@ -146,6 +146,9 @@ def main():
                     help="SupCon encoder fine-tuning steps on the training "
                          "examples (classifier.finetune_encoder); 0 = frozen "
                          "encoder like the reference")
+    ap.add_argument("--finetune-augment", default=None, choices=[None, "typo"],
+                    help="augmentation for fine-tuning views (typo = "
+                         "character-swap copies, hardens against typo attacks)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -170,7 +173,8 @@ def main():
     regular = AdaptiveClassifier(model)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
     if args.finetune_steps:
-        regular.finetune_encoder(steps=args.finetune_steps)
+        regular.finetune_encoder(steps=args.finetune_steps,
+                                 augment=args.finetune_augment)
 
     dim = regular.embedding_dim
     strategic = AdaptiveClassifier(model, config={
@@ -189,7 +193,8 @@ def main():
     if args.finetune_steps:
         # finetune_encoder re-runs strategic training internally for
         # strategic-mode classifiers
-        strategic.finetune_encoder(steps=args.finetune_steps)
+        strategic.finetune_encoder(steps=args.finetune_steps,
+                                   augment=args.finetune_augment)
 
     def batch_preds(clf, rows, mode="predict"):
         if mode == "robust":

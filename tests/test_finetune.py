@@ -199,6 +199,33 @@ class TestClassifierFinetune:
             np.asarray(clf.encoder.params["embeddings"]["word"]),
             np.asarray(clf2.encoder.params["embeddings"]["word"]), atol=1e-6)
 
+    def test_typo_augment(self):
+        import random
+
+        texts = ["the billing charge is wrong", "reset my password now"]
+        labels = ["billing", "password"]
+        out_t, out_l = finetune.typo_augment(texts, labels,
+                                             random.Random(0), copies=2)
+        assert len(out_t) == 6 and len(out_l) == 6
+        assert out_t[:2] == texts and out_l == labels * 3
+        # corrupted copies keep word count and only swap inner characters
+        for orig, cor in zip(texts * 2, out_t[2:]):
+            ow, cw = orig.split(), cor.split()
+            assert len(ow) == len(cw)
+            for a, b in zip(ow, cw):
+                assert sorted(a) == sorted(b)  # same letters, maybe swapped
+
+    def test_augment_end_to_end(self):
+        clf = self._make()
+        clf.add_examples(["the invoice total is wrong today",
+                          "please reset my account password"],
+                         ["billing", "password"])
+        rep = clf.finetune_encoder(steps=10, chunk_steps=10, batch=4,
+                                   augment="typo")
+        assert np.isfinite(rep["final_loss"])
+        with pytest.raises(ValueError, match="unknown augment"):
+            clf.finetune_encoder(steps=10, augment="nope")
+
     def test_rejects_nonpositive_steps(self):
         clf = self._make()
         clf.add_examples(["a"], ["x"])
