@@ -13,6 +13,17 @@ import runpy
 import sys
 from pathlib import Path
 
+# persistent XLA compile cache: tunnel-TPU compiles are slow (~20-40 s);
+# the cache makes repeat script runs start in seconds (same setup bench.py
+# uses).  Must be configured before the first jax computation.
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 if len(sys.argv) < 2:
     names = sorted(p.stem for p in (Path(__file__).parent / "scripts").glob("*.py"))
     sys.exit("usage: python run_script.py <script> [args...]\nscripts: " + ", ".join(names))
