@@ -94,9 +94,15 @@ def main():
     strategic_ft = run_json("eval_strategic.py",
                             ["--model", model, "--finetune-steps", "150"],
                             tmp / "strategic_ft.json")
+    strategic_typo = run_json(
+        "eval_strategic.py",
+        ["--model", model, "--finetune-steps", "150",
+         "--finetune-augment", "typo"],
+        tmp / "strategic_typo.json")
     report["strategic"] = {
         "ours": strategic,
         "ours_finetuned": strategic_ft,
+        "ours_finetuned_typo_augment": strategic_typo,
         "reference_baseline": {
             "note": "adv_glue/adv_sst2 (README.md:56-60)",
             "regular_clean": 0.80, "regular_adv": 0.60,
