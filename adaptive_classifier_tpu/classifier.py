@@ -402,9 +402,14 @@ class AdaptiveClassifier:
                         old_padded, self._class_capacity,
                         jax.random.PRNGKey(self.seed), n_old,
                     )
+                # reference pins λ=5.0 for incremental training
+                # (classifier.py:279-303) — but its penalty is provably
+                # inert (docs/architecture.md), so the live λ is tunable
+                # here via config (default keeps reference parity)
                 ewc_bundle = ewc_lib.make_ewc_bundle(
                     old_padded, o_emb, o_valid, old_active,
-                    self._next_key(), ewc_lambda=5.0,
+                    self._next_key(),
+                    ewc_lambda=self.config.incremental_ewc_lambda,
                 )
 
         result = training.fit_head(

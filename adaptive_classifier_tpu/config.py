@@ -99,6 +99,9 @@ class ModelConfig:
 
         # EWC settings
         self.ewc_lambda = g("ewc_lambda", 100.0)
+        #: λ for the incremental new-class path (reference hard-codes 5.0,
+        #: classifier.py:279-303; tunable here because our penalty is live)
+        self.incremental_ewc_lambda = g("incremental_ewc_lambda", 5.0)
         self.num_representative_examples = g("num_representative_examples", 5)
 
         # Training settings
@@ -186,6 +189,7 @@ class ModelConfig:
             "fused_topk_min_classes": self.fused_topk_min_classes,
             "strategic_num_candidates": self.strategic_num_candidates,
             "embedding_cache_size": self.embedding_cache_size,
+            "incremental_ewc_lambda": self.incremental_ewc_lambda,
         })
         return d
 

@@ -39,9 +39,12 @@ def run_json(script: str, args: list[str], out_file: Path) -> dict:
     return json.loads(out_file.read_text())
 
 
-def eval_new_class_preservation(model: str) -> dict:
+def eval_new_class_preservation(model: str, finetune_steps: int = 0) -> dict:
     """Issue-53 regression on real text: train 10 intents, add 3 new ones,
-    old-class accuracy must not collapse."""
+    old-class accuracy must not collapse.  With ``finetune_steps`` the
+    encoder is adapted to the base classes first — the realistic deployment
+    order (adapt, then continue learning new classes on the frozen-again
+    space)."""
     from adaptive_classifier_tpu import AdaptiveClassifier
 
     blob = json.loads((REPO / "data" / "intents.json").read_text())
@@ -49,6 +52,8 @@ def eval_new_class_preservation(model: str) -> dict:
     texts = [t for lbl, rows in blob["train"].items() for t in rows]
     labels = [lbl for lbl, rows in blob["train"].items() for t in rows]
     clf.add_examples(texts, labels)
+    if finetune_steps:
+        clf.finetune_encoder(steps=finetune_steps)
 
     old_labels = list(blob["train"])
 
@@ -159,6 +164,8 @@ def main():
 
     report["new_class_preservation"] = {
         "ours": eval_new_class_preservation(model),
+        "ours_finetuned": eval_new_class_preservation(model,
+                                                      finetune_steps=150),
         "reference_baseline": {
             "note": "issue #53 regression threshold "
                     "(tests/test_new_class_accuracy_preservation.py:188-198)",
