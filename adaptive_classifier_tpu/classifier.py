@@ -603,14 +603,9 @@ class AdaptiveClassifier:
         typo-level adversarial perturbations.
         Returns ``{"steps", "chunk_losses", "final_loss"}``.
         """
-        if steps <= 0:
-            raise ValueError(f"steps must be positive, got {steps}")
-        if self.encoder.quantization == "int8":
-            raise ValueError(
-                "finetune_encoder requires float encoder params; construct "
-                "the classifier with quantization=None and quantize after "
-                "fine-tuning (quantization.py)"
-            )
+        from . import finetune as _ft
+
+        self._finetune_guard(steps)
         texts: List[str] = []
         labels: List[str] = []
         for lbl, ts in self.memory.texts.items():
@@ -618,9 +613,6 @@ class AdaptiveClassifier:
             labels += [lbl] * len(ts)
         if not texts:
             raise ValueError("no stored examples to fine-tune on")
-
-        from . import finetune as _ft
-        from . import training as _tr
 
         if augment == "typo":
             import random as _random
@@ -630,11 +622,32 @@ class AdaptiveClassifier:
         elif augment is not None:
             raise ValueError(f"unknown augment {augment!r} (use 'typo')")
 
+        y = np.asarray([self.label_to_id[l] for l in labels], np.int32)
+        return self._finetune_run(_ft.supcon_chunk, texts, y, steps, lr,
+                                  batch, temperature, view_mask_prob,
+                                  chunk_steps)
+
+    def _finetune_guard(self, steps: int):
+        if steps <= 0:
+            raise ValueError(f"steps must be positive, got {steps}")
+        if self.encoder.quantization == "int8":
+            raise ValueError(
+                "finetune_encoder requires float encoder params; construct "
+                "the classifier with quantization=None and quantize after "
+                "fine-tuning (quantization.py)"
+            )
+
+    def _finetune_run(self, chunk_fn, texts: List[str], y: np.ndarray,
+                      steps: int, lr: float, batch: int, temperature: float,
+                      view_mask_prob: float, chunk_steps: int) -> Dict[str, Any]:
+        """Tokenize → scanned SupCon chunks → swap weights → re-embed →
+        retrain (shared by the single- and multi-label entry points)."""
+        from . import training as _tr
+
         ids, mask = self.encoder.tokenizer(
             texts, max_length=self.config.max_length,
             pad_to_buckets=self.encoder.SEQ_BUCKETS,
         )
-        y = np.asarray([self.label_to_id[l] for l in labels], np.int32)
         vocab = getattr(self.encoder.tokenizer, "vocab", None) or {}
         mask_id = vocab.get("[MASK]", vocab.get("[UNK]", 1))
 
@@ -646,7 +659,7 @@ class AdaptiveClassifier:
         n_chunks = max((steps + chunk_steps - 1) // chunk_steps, 1)
         losses = []
         for _ in range(n_chunks):
-            params, opt, loss = _ft.supcon_chunk(
+            params, opt, loss = chunk_fn(
                 params, opt, ids_dev, attn_dev, y_dev, self._next_key(),
                 self.encoder.config, int(mask_id), int(batch),
                 int(chunk_steps), lr=float(lr),

@@ -73,6 +73,67 @@ def supcon_loss(params, ids, attn, labels, key, cfg: EncoderConfig,
     return jnp.sum(per_anchor * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
 
 
+def supcon_loss_multihot(params, ids, attn, y_multihot, key,
+                         cfg: EncoderConfig, mask_id: int,
+                         temperature: float = 0.1,
+                         view_mask_prob: float = 0.08) -> jax.Array:
+    """Multi-label SupCon: positives = pairs sharing ≥1 label.
+
+    The single-label form can't represent multi-label data — a text under
+    labels {a, b} flattened to two rows would be its own negative.  Here
+    ``y_multihot`` is ``[B, L]`` and the positive mask is
+    ``(Y @ Y.T) > 0`` (any shared label), diagonal excluded."""
+    k1, k2 = jax.random.split(key)
+    v1, _, _ = apply_mlm_masking(k1, ids, attn, mask_id, cfg.vocab_size,
+                                 mask_prob=view_mask_prob)
+    v2, _, _ = apply_mlm_masking(k2, ids, attn, mask_id, cfg.vocab_size,
+                                 mask_prob=view_mask_prob)
+    e = jnp.concatenate([_pooled_embed(params, v1, attn, cfg),
+                         _pooled_embed(params, v2, attn, cfg)])  # [2B, D]
+    y = jnp.concatenate([y_multihot, y_multihot]).astype(jnp.float32)
+    n = e.shape[0]
+    sims = (e @ e.T) / temperature
+    not_self = 1.0 - jnp.eye(n, dtype=sims.dtype)
+    logits = jnp.where(not_self > 0, sims, -1e9)
+    logp = jax.nn.log_softmax(logits, axis=1)
+    pos = ((y @ y.T) > 0).astype(sims.dtype) * not_self
+    n_pos = jnp.sum(pos, axis=1)
+    per_anchor = -jnp.sum(pos * logp, axis=1) / jnp.maximum(n_pos, 1.0)
+    has_pos = (n_pos > 0).astype(sims.dtype)
+    return jnp.sum(per_anchor * has_pos) / jnp.maximum(jnp.sum(has_pos), 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mask_id", "batch",
+                                             "n_steps", "lr", "temperature",
+                                             "view_mask_prob"))
+def supcon_chunk_multihot(params, opt, ids_all, attn_all, y_all, key,
+                          cfg: EncoderConfig, mask_id: int, batch: int,
+                          n_steps: int, lr: float = 3e-5,
+                          temperature: float = 0.1,
+                          view_mask_prob: float = 0.08):
+    """Multi-label variant of supcon_chunk (same dispatch pattern)."""
+
+    def body(carry, i):
+        params, opt = carry
+        sub = jax.random.fold_in(key, i)
+        k_idx, k_loss = jax.random.split(sub)
+        idx = jax.random.randint(k_idx, (batch,), 0, ids_all.shape[0])
+
+        def loss_fn(p):
+            return supcon_loss_multihot(
+                p, ids_all[idx], attn_all[idx], y_all[idx], k_loss, cfg,
+                mask_id, temperature, view_mask_prob)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = training.clip_global_norm(grads, 1.0)
+        new_params, new_opt = training.adamw_update(params, grads, opt, lr)
+        return (new_params, new_opt), loss
+
+    (params, opt), losses = jax.lax.scan(body, (params, opt),
+                                         jnp.arange(n_steps))
+    return params, opt, jnp.mean(losses)
+
+
 def typo_augment(texts, labels, rng, copies: int = 1,
                  word_prob: float = 0.3):
     """Host-side character-typo augmentation (adjacent-swap inside words

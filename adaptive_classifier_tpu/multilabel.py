@@ -134,6 +134,52 @@ class MultiLabelAdaptiveClassifier(AdaptiveClassifier):
             super().add_examples(flattened_texts, flattened_labels)
         self._update_label_thresholds()
 
+    def finetune_encoder(
+        self,
+        steps: int = 200,
+        lr: float = 3e-5,
+        batch: int = 32,
+        temperature: float = 0.1,
+        view_mask_prob: float = 0.08,
+        chunk_steps: int = 50,
+        augment=None,
+    ):
+        """Multi-label encoder fine-tuning (finetune.supcon_chunk_multihot).
+
+        The single-label SupCon would treat a text stored under labels
+        {a, b} (add_examples flattens it into two rows) as its own
+        negative; here positives are pairs sharing ≥1 label, over UNIQUE
+        texts with multi-hot label rows."""
+        import random as _random
+
+        from . import finetune as _ft
+
+        self._finetune_guard(steps)
+        text_labels: Dict[str, set] = {}
+        for lbl, ts in self.memory.texts.items():
+            for t in ts:
+                text_labels.setdefault(t, set()).add(lbl)
+        if not text_labels:
+            raise ValueError("no stored examples to fine-tune on")
+        texts = list(text_labels)
+        L = max(len(self.label_to_id), 1)
+        rows = np.zeros((len(texts), L), np.float32)
+        for i, t in enumerate(texts):
+            for lbl in text_labels[t]:
+                rows[i, self.label_to_id[lbl]] = 1.0
+
+        if augment == "typo":
+            # corrupted copies keep their source row's multi-hot labels
+            texts, idx = _ft.typo_augment(
+                texts, list(range(len(texts))), _random.Random(self.seed))
+            rows = rows[np.asarray(idx)]
+        elif augment is not None:
+            raise ValueError(f"unknown augment {augment!r} (use 'typo')")
+
+        return self._finetune_run(_ft.supcon_chunk_multihot, texts, rows,
+                                  steps, lr, batch, temperature,
+                                  view_mask_prob, chunk_steps)
+
     def _update_label_thresholds(self):
         """Frequency-based per-label thresholds (multilabel.py:280-307)."""
         counts = {l: len(t) for l, t in self.memory.texts.items() if t}

@@ -248,6 +248,54 @@ class TestClassifierFinetune:
         with pytest.raises(ValueError, match="no stored examples"):
             clf.finetune_encoder(steps=10)
 
+    def test_multilabel_shared_label_positive(self):
+        """Multi-hot SupCon: rows sharing ≥1 label are positives — a text
+        under {a,b} must NOT be pushed away from a text under {b,c}."""
+        from adaptive_classifier_tpu.finetune import supcon_loss_multihot
+        from adaptive_classifier_tpu.models.encoder import (
+            EncoderConfig, init_params)
+
+        cfg = EncoderConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                            num_heads=2, intermediate_size=64,
+                            max_position_embeddings=16)
+        params = init_params(0, cfg)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(5, 64, (8, 12)), jnp.int32)
+        attn = jnp.ones((8, 12), jnp.int32)
+        # overlapping label sets across all rows
+        y = jnp.asarray(np.asarray(
+            [[1, 1, 0], [0, 1, 1], [1, 0, 0], [0, 0, 1]] * 2, np.float32))
+        loss = supcon_loss_multihot(params, ids, attn, y,
+                                    jax.random.PRNGKey(0), cfg, mask_id=4)
+        assert np.isfinite(float(loss)) and float(loss) > 0
+
+    def test_multilabel_end_to_end(self):
+        from adaptive_classifier_tpu import MultiLabelAdaptiveClassifier
+
+        clf = MultiLabelAdaptiveClassifier("prajjwal1/bert-tiny", config={
+            "train_size_buckets": [64], "class_capacity_buckets": [8],
+            "example_capacity_buckets": [32],
+        })
+        clf.add_examples(
+            ["urgent billing problem with my card",
+             "urgent access issue cannot log in",
+             "billing statement question",
+             "login page not loading"],
+            [["urgent", "billing"], ["urgent", "access"],
+             ["billing"], ["access"]],
+        )
+        old_word = np.asarray(clf.encoder.params["embeddings"]["word"]).copy()
+        rep = clf.finetune_encoder(steps=10, chunk_steps=10, batch=4)
+        assert np.isfinite(rep["final_loss"])
+        assert not np.allclose(
+            old_word, np.asarray(clf.encoder.params["embeddings"]["word"]))
+        preds = clf.predict_multilabel("urgent charge on my bill")
+        assert isinstance(preds, list)
+        # typo augment path also runs
+        rep2 = clf.finetune_encoder(steps=10, chunk_steps=10, batch=4,
+                                    augment="typo")
+        assert np.isfinite(rep2["final_loss"])
+
     def test_int8_guard(self):
         clf = self._make(quantization="int8")
         if clf.encoder.quantization != "int8":  # CPU resolves 'auto' off only

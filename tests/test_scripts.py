@@ -81,7 +81,8 @@ def test_train_hallucination_detector(monkeypatch, capsys, tmp_path):
 
 @pytest.mark.parametrize("example", ["basic_usage.py", "advanced_usage.py",
                                      "multilabel_usage.py",
-                                     "production_serving.py"])
+                                     "production_serving.py",
+                                     "finetune_usage.py"])
 def test_examples_run(example, monkeypatch, tmp_path):
     """Examples execute end-to-end (small model via env override)."""
     monkeypatch.setenv("AC_TPU_EXAMPLE_MODEL", "prajjwal1/bert-tiny")
