@@ -529,12 +529,30 @@ class Encoder:
         # on TPU the fused int8 FFN kernel beats the bf16 forward 1.28×.
         if self.quantization == "auto":
             self.quantization = "int8" if jax.default_backend() == "tpu" else None
-        if self.quantization == "int8" and cfg.arch in ("bert", "distilbert", "roberta"):
+        self._build_embed()
+
+    def _build_embed(self):
+        """(Re)build the jitted embed closures from the CURRENT config,
+        quantization mode, and params.  Called from __init__ and again by
+        ``restore_params`` — the closures capture ``cfg``, so assigning
+        ``self.config`` alone would leave a stale forward."""
+        cfg = self.config
+        cd = self.compute_dtype
+
+        if self.quantization == "int8":
+            if cfg.arch not in ("bert", "distilbert", "roberta"):
+                logger.warning(
+                    f"quantization='int8' is not supported for arch "
+                    f"'{cfg.arch}'; falling back to the float path"
+                )
+                self.quantization = None
+        if self.quantization == "int8":
             from .encoder_int8 import (
                 embed_texts_device_int8, quantize_encoder_for_inference,
             )
 
-            self.params = jax.jit(quantize_encoder_for_inference)(self.params)
+            if "qkv_w.int8" not in self.params.get("layers", {}):
+                self.params = jax.jit(quantize_encoder_for_inference)(self.params)
 
             @jax.jit
             def _embed_q(params, input_ids, attention_mask):
@@ -554,6 +572,22 @@ class Encoder:
         self._embed = lambda p, ids, mask: _embed(
             p, ids, mask, use_flash=self._use_flash(ids.shape[1])
         )
+
+    def restore_params(self, params, config: Optional[EncoderConfig] = None,
+                       tokenizer=None, pretrained: Optional[bool] = None):
+        """Swap in restored params (and optionally config/tokenizer), then
+        rebuild the jitted closures so the forward actually uses them.
+
+        For an int8-mode encoder, float params are re-quantized; an already
+        runtime-quantized tree (``qkv_w.int8`` present) is used as-is."""
+        if config is not None:
+            self.config = config
+        if tokenizer is not None:
+            self.tokenizer = tokenizer
+        if pretrained is not None:
+            self.pretrained = pretrained
+        self.params = params
+        self._build_embed()
 
     def _use_flash(self, seq_len: int) -> bool:
         """Flash attention engages on TPU only for genuinely long sequences.

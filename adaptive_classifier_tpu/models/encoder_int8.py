@@ -42,16 +42,29 @@ def quantize_weight(w: jax.Array):
 
 
 def quantize_encoder_for_inference(params: Dict[str, Any]) -> Dict[str, Any]:
-    """Quantize every layer matmul weight; embeddings/norms stay float."""
+    """Quantize every layer matmul weight; embeddings/norms stay float.
+
+    Q/K/V are fused into ONE ``[L, D, 3D]`` tensor at quantization time
+    (per-output-channel scales are per output column, so quantizing the
+    concatenation is bit-identical to concatenating the per-matrix
+    quantizations) — concatenating int8 slices inside the scan body cost
+    ~L·D·3D int8 copies per forward because the scan-carried slices defeat
+    XLA hoisting."""
     layers = params["layers"]
     out = {"embeddings": params["embeddings"], "layers": {}}
-    for name in ("q_w", "k_w", "v_w", "o_w", "ffn_in_w", "ffn_out_w"):
-        w = layers[name]  # [L, in, out]
-        q, s = jax.vmap(quantize_weight)(w)
+    w_qkv = jnp.concatenate(
+        [layers["q_w"], layers["k_w"], layers["v_w"]], axis=2)  # [L, D, 3D]
+    q, s = jax.vmap(quantize_weight)(w_qkv)
+    out["layers"]["qkv_w.int8"] = q
+    out["layers"]["qkv_w.scale"] = s
+    out["layers"]["qkv_b"] = jnp.concatenate(
+        [layers["q_b"], layers["k_b"], layers["v_b"]], axis=1)  # [L, 3D]
+    for name in ("o_w", "ffn_in_w", "ffn_out_w"):
+        q, s = jax.vmap(quantize_weight)(layers[name])
         out["layers"][f"{name}.int8"] = q
         out["layers"][f"{name}.scale"] = s
     for name, v in layers.items():
-        if not name.endswith("_w"):
+        if not name.endswith("_w") and name not in ("q_b", "k_b", "v_b"):
             out["layers"][name] = v
     return out
 
@@ -101,7 +114,7 @@ def encoder_forward_int8(
         )
     if use_fused_ffn:
         from ..ops.ffn_int8 import ffn_block_int8
-        from ..ops.matmul_int8 import proj_residual_ln_int8, quant_matmul_int8
+        from ..ops.matmul_int8 import quant_matmul_int8
     emb = qparams["embeddings"]
     h = emb["word"][input_ids]
     if cfg.arch == "roberta":
@@ -129,12 +142,12 @@ def encoder_forward_int8(
         # fused QKV: ONE dynamic quantization of x and ONE [D, 3D] int8
         # matmul instead of three (the float path fuses QKV the same way,
         # encoder.py "fused QKV +2.7%"; int8 additionally saves two
-        # per-row quantization passes over x)
-        w_qkv = jnp.concatenate(
-            [lp["q_w.int8"], lp["k_w.int8"], lp["v_w.int8"]], axis=1)
-        s_qkv = jnp.concatenate(
-            [lp["q_w.scale"], lp["k_w.scale"], lp["v_w.scale"]])
-        b_qkv = jnp.concatenate([lp["q_b"], lp["k_b"], lp["v_b"]])
+        # per-row quantization passes over x).  The weights were fused at
+        # quantization time — concatenating here would copy ~D·3D int8
+        # per layer per forward (scan-carried slices defeat hoisting).
+        w_qkv = lp["qkv_w.int8"]
+        s_qkv = lp["qkv_w.scale"]
+        b_qkv = lp["qkv_b"]
         D = cfg.hidden_size
         if use_fused_ffn:
             # weight-stationary Pallas projection (ops/matmul_int8.py):

@@ -112,6 +112,8 @@ class NativeWordPiece:
         return bool(self._lib.wp_is_ascii(b, len(b)))
 
     def encode(self, text: str, max_length: int) -> np.ndarray:
+        if max_length < 2:
+            raise ValueError(f"max_length must be >= 2 ([CLS]+[SEP]), got {max_length}")
         b = text.encode("utf-8", errors="ignore")
         out = np.zeros(max_length, np.int32)
         n = self._lib.wp_encode(
@@ -121,6 +123,8 @@ class NativeWordPiece:
         return out[:n]
 
     def encode_batch(self, texts: List[str], max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        if max_length < 2:
+            raise ValueError(f"max_length must be >= 2 ([CLS]+[SEP]), got {max_length}")
         n = len(texts)
         bufs = [t.encode("utf-8", errors="ignore") for t in texts]
         arr = (ctypes.c_char_p * n)(*bufs)

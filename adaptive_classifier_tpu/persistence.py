@@ -168,16 +168,6 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         # a re-save persists the adapted weights again
         clf.model_name = config_dict["model_name"]
         clf.encoder._finetuned = True
-    saved_dim = config_dict.get("embedding_dim")
-    if saved_dim is not None and saved_dim != clf.embedding_dim:
-        raise ValueError(
-            f"Checkpoint at {model_path} was built with a {saved_dim}-dim "
-            f"encoder ('{config_dict['model_name']}'), but the resolved "
-            f"encoder produces {clf.embedding_dim}-dim embeddings — the "
-            f"original encoder checkpoint is unavailable and no compatible "
-            f"offline architecture exists for that name."
-        )
-
     # If the encoder's real weights aren't available here (no local HF
     # checkpoint) but the checkpoint's int8 export captured a *pretrained*
     # encoder, restore from it — an int8 approximation of the true weights
@@ -190,13 +180,52 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
             from .quantization import load_quantized_encoder_params
             from .models.encoder import EncoderConfig
 
-            params, enc_cfg, qcfg = load_quantized_encoder_params(qdir)
+            want = "int8" if clf.encoder.quantization == "int8" else "float"
+            params, enc_cfg, qcfg = load_quantized_encoder_params(qdir, want=want)
             if qcfg.get("encoder_pretrained", False):
-                clf.encoder.params = params
-                clf.encoder.config = EncoderConfig(**enc_cfg)
+                # the export's vocab must come along: pretrained rows paired
+                # with the hermetic fallback tokenizer's ids would embed
+                # confident nonsense
+                tokenizer = None
+                if (qdir / "vocab.txt").exists():
+                    from .models.tokenizer import WordPieceTokenizer
+
+                    tokenizer = WordPieceTokenizer.from_pretrained(str(qdir))
+                elif getattr(clf.encoder.tokenizer, "vocab", None) is None or \
+                        not getattr(clf.encoder, "pretrained", False):
+                    raise ValueError(
+                        "int8 export has no vocab.txt and no real tokenizer "
+                        "is available — refusing to pair pretrained weights "
+                        "with the hermetic fallback vocabulary"
+                    )
+                # restore_params rebuilds the jitted closures — assigning
+                # .config/.params alone would leave the old closure's cfg
+                # (and, on the int8 path, a float/int8 tree mismatch)
+                clf.encoder.restore_params(
+                    params, config=EncoderConfig(**enc_cfg),
+                    tokenizer=tokenizer, pretrained=True)
                 logger.info("Restored encoder weights from int8 checkpoint export")
+                # the export's config is authoritative (the offline guess
+                # may have different dims entirely); the memory is still
+                # empty at this point, so rebuild it at the true dim
+                if clf.embedding_dim != clf.encoder.hidden_size:
+                    from .memory import PrototypeMemory
+
+                    clf.embedding_dim = clf.encoder.hidden_size
+                    clf.memory = PrototypeMemory(clf.embedding_dim,
+                                                 config=clf.config)
         except Exception as e:
             logger.warning(f"Could not restore quantized encoder: {e}")
+
+    saved_dim = config_dict.get("embedding_dim")
+    if saved_dim is not None and saved_dim != clf.embedding_dim:
+        raise ValueError(
+            f"Checkpoint at {model_path} was built with a {saved_dim}-dim "
+            f"encoder ('{config_dict['model_name']}'), but the resolved "
+            f"encoder produces {clf.embedding_dim}-dim embeddings — the "
+            f"original encoder checkpoint is unavailable and no compatible "
+            f"offline architecture exists for that name."
+        )
 
     # restore label maps in id order so memory slots == label ids
     clf.label_to_id = dict(config_dict["label_to_id"])

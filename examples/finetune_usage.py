@@ -11,8 +11,18 @@ continual learning (new classes at runtime) keeps working afterwards.
 
 import os
 import tempfile
+from pathlib import Path
 
 from adaptive_classifier_tpu import AdaptiveClassifier
+
+
+def resolve(model: str) -> str:
+    """Repo-relative checkpoint paths work from any working directory."""
+    if not Path(model).exists():
+        cand = Path(__file__).resolve().parent.parent / model
+        if (cand / "config.json").exists():
+            return str(cand)
+    return model
 
 
 def accuracy(clf, rows):
@@ -21,7 +31,7 @@ def accuracy(clf, rows):
 
 
 def main():
-    model = os.environ.get("AC_TPU_EXAMPLE_MODEL", "checkpoints/ac-small")
+    model = resolve(os.environ.get("AC_TPU_EXAMPLE_MODEL", "checkpoints/ac-small"))
     clf = AdaptiveClassifier(model, config={
         "train_size_buckets": [64],
         "class_capacity_buckets": [8],

@@ -107,6 +107,7 @@ int wp_is_ascii(const char* text, int64_t len) {
 // Returns number of ids written.
 int32_t wp_encode(void* handle, const char* text, int64_t text_len,
                   int32_t* out, int32_t max_len) {
+  if (max_len < 2) return 0;  // no room for [CLS]+[SEP]: refuse, don't overflow
   const Tokenizer& t = *static_cast<Tokenizer*>(handle);
   std::vector<int32_t> ids;
   ids.reserve(64);
@@ -128,8 +129,11 @@ int32_t wp_encode(void* handle, const char* text, int64_t text_len,
       flush();
       std::string p(1, static_cast<char>(c));
       wordpiece(t, p, ids);
-    } else if (c < 33) {
-      flush();  // control chars dropped
+    } else if (c < 32 || c == 127) {
+      // control characters are DELETED, joining their neighbors — the
+      // Python arbiter's _clean (BERT _clean_text) removes them without
+      // splitting the word ("ab\x0bcd" -> "abcd", not "ab","cd")
+      continue;
     } else {
       word.push_back(t.do_lower && c >= 'A' && c <= 'Z'
                          ? static_cast<char>(c - 'A' + 'a')

@@ -104,5 +104,5 @@ def test_classifier_with_int8_quantization(synth_classifier_factory):
     emb = clf._get_embeddings(["hello world", "other text"])
     assert np.isfinite(emb).all()
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
-    # int8 weights actually present
-    assert "q_w.int8" in clf.encoder.params["layers"]
+    # int8 weights actually present (QKV fused at quantization time)
+    assert "qkv_w.int8" in clf.encoder.params["layers"]

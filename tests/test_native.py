@@ -121,3 +121,38 @@ class TestNativeTokenizerFuzz:
             assert nat.encode(text, 64).tolist() == tok.encode(text, max_length=64)
 
         check()
+
+    def test_fuzz_control_char_parity(self):
+        """Control characters (0x00-0x1F, 0x7F) must DELETE (joining their
+        neighbors) like the Python arbiter's _clean — regression: the
+        native path used to split words on them (and kept DEL in-word)."""
+        from hypothesis import given, settings, strategies as st
+
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+                       max_size=60))
+        def check(text):
+            assert nat.encode(text, 64).tolist() == tok.encode(text, max_length=64)
+
+        check()
+
+    def test_control_chars_join_words(self):
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+        assert nat.encode("ab\x0bcd", 16).tolist() == \
+            tok.encode("abcd", max_length=16)
+        assert nat.encode("ab\x7fcd", 16).tolist() == \
+            tok.encode("abcd", max_length=16)
+
+    def test_max_length_below_two_rejected(self):
+        import pytest
+
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+        with pytest.raises(ValueError):
+            nat.encode("hello", 1)
+        with pytest.raises(ValueError):
+            nat.encode_batch(["hello"], 0)

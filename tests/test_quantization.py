@@ -77,3 +77,105 @@ def test_offline_load_does_not_use_unpretrained_quantized(tmp_path, synth_classi
     for a, b in zip(jax.tree.leaves(clf.encoder.params),
                     jax.tree.leaves(clf2.encoder.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_mode_save_does_not_double_quantize(tmp_path):
+    """An int8-mode encoder's params are ALREADY the runtime int8 tree —
+    save must store it verbatim (format=runtime_int8_tree), not re-quantize
+    the int8 leaves into '.int8.int8' garbage."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+    from safetensors.numpy import load_file
+
+    clf = AdaptiveClassifier("prajjwal1/bert-tiny", config={
+        "quantization": "int8",
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32], "embedding_cache_size": 0,
+    })
+    if clf.encoder.quantization != "int8":
+        import pytest
+        pytest.skip("int8 path not engaged on this backend")
+    clf.add_examples(["hello billing", "reset password"], ["a", "b"])
+    p = tmp_path / "m"
+    clf.save(str(p))
+    cfg = json.loads((p / "quantized" / "quantize_config.json").read_text())
+    assert cfg["format"] == "runtime_int8_tree"
+    tensors = load_file(str(p / "quantized" / "model_int8.safetensors"))
+    assert not any(".int8.int8" in k for k in tensors)
+    assert any(k.endswith("qkv_w.int8") for k in tensors)
+
+
+def test_quantized_export_carries_vocab(tmp_path, synth_classifier_factory):
+    """Restoring pretrained weights without their vocab silently pairs them
+    with the hermetic tokenizer's unrelated ids — the export must include
+    vocab.txt whenever the tokenizer has a vocabulary."""
+    clf = synth_classifier_factory()
+    clf.add_examples(["a:1", "b:1"], ["a", "b"])
+    clf.save(str(tmp_path / "m"))
+    vocab_file = tmp_path / "m" / "quantized" / "vocab.txt"
+    assert vocab_file.exists()
+    lines = vocab_file.read_text().splitlines()
+    assert lines[:5] == ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+
+
+def test_restore_params_rebuilds_closures():
+    """encoder.restore_params must rebuild the jitted embed closure so a
+    changed config (e.g. pooling) actually takes effect — assigning
+    .config alone leaves the old closure's captured cfg."""
+    from adaptive_classifier_tpu.models.encoder import Encoder, EncoderConfig
+
+    enc = Encoder("prajjwal1/bert-tiny")
+    e_cls = np.asarray(enc.embed(["hello world of testing"]))
+    new_cfg = EncoderConfig(**{**enc.config.__dict__, "pooling": "mean"})
+    enc.restore_params(enc.params, config=new_cfg)
+    e_mean = np.asarray(enc.embed(["hello world of testing"]))
+    assert not np.allclose(e_cls, e_mean)
+
+
+def test_per_output_channel_scales():
+    """quantize_tree reduces over the contraction axis, not the whole
+    matrix: a [L, in, out] stack gets scale [L, out]."""
+    from adaptive_classifier_tpu.quantization import (
+        dequantize_tree, quantize_tree)
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    w[:, :, 0] *= 100.0  # outlier column must not crush other columns
+    tensors, manifest = quantize_tree({"layers": {"ffn_in_w": w}})
+    assert tensors["layers/ffn_in_w.scale"].shape == (2, 32)
+    back = np.asarray(dequantize_tree(tensors)["layers"]["ffn_in_w"])
+    err = np.abs(back - w).max(axis=(0, 1))
+    # non-outlier columns keep fine resolution despite the outlier
+    assert err[1:].max() < 0.05
+
+
+def test_int8_restore_when_base_checkpoint_missing(tmp_path):
+    """The original crash: save on a machine WITH the base checkpoint, load
+    on one WITHOUT it while the encoder resolves to the int8 path — the
+    restored params must be the runtime int8 tree the jitted closure
+    expects (a float tree KeyErrors on 'qkv_w.int8' at first predict)."""
+    import shutil
+    from pathlib import Path
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    src = Path(__file__).resolve().parent.parent / "checkpoints" / "ac-tiny"
+    if not (src / "model.safetensors").exists():
+        import pytest
+        pytest.skip("ac-tiny checkpoint not built")
+    ckpt = tmp_path / "enc"
+    shutil.copytree(src, ckpt)
+    cfg = {"quantization": "int8", "train_size_buckets": [64],
+           "class_capacity_buckets": [8], "example_capacity_buckets": [32],
+           "embedding_cache_size": 0}
+    clf = AdaptiveClassifier(str(ckpt), config=cfg)
+    clf.add_examples(["the billing charge is wrong", "reset my password"],
+                     ["billing", "password"])
+    before = clf.predict("wrong charge on my bill", k=2)
+    out = tmp_path / "saved"
+    clf.save(str(out))
+
+    shutil.rmtree(ckpt)   # simulate the machine without the base checkpoint
+    clf2 = AdaptiveClassifier.load(str(out))
+    assert clf2.encoder.pretrained  # restored from the int8 export
+    after = clf2.predict("wrong charge on my bill", k=2)  # must not crash
+    assert after[0][0] == before[0][0]
