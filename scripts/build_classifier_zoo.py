@@ -22,6 +22,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _label_block_rows(blob, split):
+    """{label: [texts]} block → [(text, label)] rows."""
+    return [(t, lbl) for lbl, rows in blob[split].items() for t in rows]
+
+
 def dataset_specs():
     data = REPO / "data"
     sent = json.loads((data / "sentiment.json").read_text())
@@ -40,7 +45,7 @@ def dataset_specs():
         return [(t, lbl) for lbl in intents["train"]
                 for t in intents["test"][lbl]]
 
-    return {
+    specs = {
         "sentiment": {
             "train": sent_rows("train"),
             "test": sent_rows("test"),
@@ -69,6 +74,21 @@ def dataset_specs():
             "description": "RAGTruth-style context/answer faithfulness",
         },
     }
+    # breadth tier: more published-model analogs (reference ships 17 domain
+    # models, tests/test_enterprise_classifiers_integration.py:20-123)
+    for name, desc in (
+        ("spam", "spam/ham email+SMS filtering"),
+        ("emotions", "joy/anger/sadness/fear emotion detection"),
+        ("topic", "sports/technology/business/politics news topics"),
+        ("priority", "urgent/normal/low support-ticket priority"),
+    ):
+        blob = json.loads((data / f"{name}.json").read_text())
+        specs[name] = {
+            "train": _label_block_rows(blob, "train"),
+            "test": _label_block_rows(blob, "test"),
+            "description": desc,
+        }
+    return specs
 
 
 def main():
