@@ -199,6 +199,11 @@ def main():
     def batch_preds(clf, rows, mode="predict"):
         if mode == "robust":
             return [clf.predict_robust(d["text"], 1) for d in rows]
+        if not clf.strategic_mode:
+            # predict() == _predict_regular() for non-strategic classifiers;
+            # the batched form has IDENTICAL fusion semantics and turns N
+            # tunnel round-trips into a few chunked device programs
+            return clf._predict_regular_batch([d["text"] for d in rows], 1)
         return [clf.predict(d["text"], 1) for d in rows]
 
     report = {
