@@ -99,6 +99,12 @@ def main():
                     help="per-classifier SupCon encoder fine-tuning steps "
                          "(classifier.finetune_encoder); 0 = frozen encoder")
     ap.add_argument("--finetune-lr", type=float, default=3e-5)
+    ap.add_argument("--finetune-probe", type=int, default=150,
+                    help="AFTER saving the frozen artifact, fine-tune a "
+                         "probe copy and record its accuracy in the "
+                         "manifest (informational; the committed checkpoint "
+                         "stays frozen so the repo carries no per-entry "
+                         "encoder weights); 0 disables")
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
@@ -125,13 +131,26 @@ def main():
                   if p and p[0][0] == l) / len(spec["test"])
         out = out_root / name
         clf.save(str(out), include_quantized=False)
-        manifest["classifiers"][name] = {
+        entry = {
             "expected_accuracy": round(acc, 4),
             "classes": sorted(clf.label_to_id),
             "description": spec["description"],
             "n_train": len(spec["train"]), "n_test": len(spec["test"]),
         }
         print(f"    accuracy {acc:.4f}, saved {out}")
+        if args.finetune_probe > 0 and args.finetune_steps == 0:
+            # informational: what finetune_encoder reaches on this task
+            # (the committed artifact stays frozen — reproduce with
+            # --finetune-steps or clf.finetune_encoder)
+            clf.finetune_encoder(steps=args.finetune_probe,
+                                 lr=args.finetune_lr)
+            preds = clf.predict_batch([t for t, _ in spec["test"]], k=1)
+            ft_acc = sum(1 for (t, l), p in zip(spec["test"], preds)
+                         if p and p[0][0] == l) / len(spec["test"])
+            entry["finetuned_accuracy"] = round(ft_acc, 4)
+            entry["finetune_probe_steps"] = args.finetune_probe
+            print(f"    finetuned probe accuracy {ft_acc:.4f}")
+        manifest["classifiers"][name] = entry
 
     (out_root / "manifest.json").write_text(json.dumps(manifest, indent=2))
     print(json.dumps(manifest, indent=2))
