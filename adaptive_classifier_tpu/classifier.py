@@ -814,13 +814,23 @@ class AdaptiveClassifier:
         robust: bool = False, strategic: bool = False,
     ) -> List[Tuple[str, float]]:
         """Reference classifier.py:1723-1797 — top-k fusion with mode weights."""
+        return self._predict_from_embeddings_batch(
+            jnp.atleast_2d(jnp.asarray(embedding)), k,
+            robust=robust, strategic=strategic)[0]
+
+    def _predict_from_embeddings_batch(
+        self, embs: jax.Array, k: int = 5,
+        robust: bool = False, strategic: bool = False,
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched mode-weighted top-k fusion over ``[B, D]`` embeddings —
+        one device program for the whole batch."""
         if self.strategic_mode and robust:
             pw, hw = self.config.strategic_robust_proto_weight, self.config.strategic_robust_head_weight
         elif self.strategic_mode and strategic:
             pw, hw = self.config.strategic_prediction_proto_weight, self.config.strategic_prediction_head_weight
         else:
             pw, hw = self.config.prototype_weight, self.config.neural_weight
-        emb = jnp.atleast_2d(jnp.asarray(embedding))
+        emb = jnp.atleast_2d(jnp.asarray(embs))
         sims = self.memory.sims_for(emb)
         has_head = self.head_params is not None
         logits = self._head_logits(emb)
@@ -829,7 +839,9 @@ class AdaptiveClassifier:
             sims, logits, self.memory.state.valid, self._active_mask(),
             pw, hw, kk, has_head,
         )
-        return self._to_label_list(np.asarray(scores)[0], np.asarray(ids)[0])[:k]
+        scores_np, ids_np = np.asarray(scores), np.asarray(ids)
+        return [self._to_label_list(s, i)[:k]
+                for s, i in zip(scores_np, ids_np)]
 
     # ------------------------------------------------------------------
     # strategic mode (reference classifier.py:1573-1823)
@@ -890,37 +902,49 @@ class AdaptiveClassifier:
 
     def predict_strategic(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
         """Predict on the input's simulated best response (classifier.py:1649-1694)."""
-        if not self.strategic_mode:
-            return self._predict_regular(text, k)
-        try:
-            emb = self._embed_device([text])[0]
-            br = self.strategic_cost_function.compute_best_response(
-                emb, self._classifier_probs_fn(), key=self._next_key()
-            )
-            return self._predict_from_embedding(br, k, strategic=True)
-        except Exception as e:
-            logger.warning(f"Strategic prediction failed: {e}. Falling back to regular prediction.")
-            return self._predict_regular(text, k)
+        return self.predict_strategic_batch([text], k)[0]
 
     def predict_robust(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
         """Prototype-heavy prediction for already-manipulated inputs
         (classifier.py:1696-1721)."""
-        if not self.strategic_mode:
-            return self._predict_regular(text, k)
-        try:
-            emb = self._embed_device([text])[0]
-            return self._predict_from_embedding(emb, k, robust=True)
-        except Exception as e:
-            logger.warning(f"Robust prediction failed: {e}. Falling back to regular prediction.")
-            return self._predict_regular(text, k)
+        return self.predict_robust_batch([text], k)[0]
 
-    def _predict_dual(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
-        """Blend regular + strategic predictions (classifier.py:482-522)."""
-        regular = self._predict_regular(text, k)
-        strategic = self.predict_strategic(text, k)
+    def predict_strategic_batch(
+        self, texts: List[str], k: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched predict_strategic: ONE best-response sweep (B×candidates
+        in one forward, strategic.compute_best_response_batch) + ONE fusion
+        program — the single-query form pays a tunnel round-trip per call."""
+        if not self.strategic_mode:
+            return self._predict_regular_batch(texts, k)
+        try:
+            emb = self._embed_device(texts)
+            br = self.strategic_cost_function.compute_best_response_batch(
+                emb, self._classifier_probs_fn(), key=self._next_key()
+            )
+            return self._predict_from_embeddings_batch(br, k, strategic=True)
+        except Exception as e:
+            logger.warning(f"Strategic batch prediction failed: {e}. "
+                           f"Falling back to regular prediction.")
+            return self._predict_regular_batch(texts, k)
+
+    def predict_robust_batch(
+        self, texts: List[str], k: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched predict_robust (prototype-heavy weights, one program)."""
+        if not self.strategic_mode:
+            return self._predict_regular_batch(texts, k)
+        try:
+            emb = self._embed_device(texts)
+            return self._predict_from_embeddings_batch(emb, k, robust=True)
+        except Exception as e:
+            logger.warning(f"Robust batch prediction failed: {e}. "
+                           f"Falling back to regular prediction.")
+            return self._predict_regular_batch(texts, k)
+
+    @staticmethod
+    def _blend_dual(regular, strategic, rw: float, sw: float, k: int):
         blended: Dict[str, float] = {}
-        rw = self.config.strategic_blend_regular_weight
-        sw = self.config.strategic_blend_strategic_weight
         for label, score in regular:
             blended[label] = score * rw
         for label, score in strategic:
@@ -930,6 +954,20 @@ class AdaptiveClassifier:
         if total > 0:
             preds = [(l, s / total) for l, s in preds]
         return preds[:k]
+
+    def _predict_dual(self, text: str, k: int = 5) -> List[Tuple[str, float]]:
+        """Blend regular + strategic predictions (classifier.py:482-522)."""
+        return self._predict_dual_batch([text], k)[0]
+
+    def _predict_dual_batch(
+        self, texts: List[str], k: int = 5
+    ) -> List[List[Tuple[str, float]]]:
+        regular = self._predict_regular_batch(texts, k)
+        strategic = self.predict_strategic_batch(texts, k)
+        rw = self.config.strategic_blend_regular_weight
+        sw = self.config.strategic_blend_strategic_weight
+        return [self._blend_dual(r, s, rw, sw, k)
+                for r, s in zip(regular, strategic)]
 
     def _perform_strategic_training(self):
         """Periodic strategic training over all stored examples

@@ -197,14 +197,17 @@ def main():
                                    augment=args.finetune_augment)
 
     def batch_preds(clf, rows, mode="predict"):
+        """Batched sweeps with per-query prediction semantics preserved:
+        predict() == _predict_dual_batch rows for strategic classifiers,
+        _predict_regular_batch rows otherwise, predict_robust ==
+        predict_robust_batch rows — each turns N tunnel round-trips into a
+        few chunked device programs."""
+        texts = [d["text"] for d in rows]
         if mode == "robust":
-            return [clf.predict_robust(d["text"], 1) for d in rows]
+            return clf.predict_robust_batch(texts, 1)
         if not clf.strategic_mode:
-            # predict() == _predict_regular() for non-strategic classifiers;
-            # the batched form has IDENTICAL fusion semantics and turns N
-            # tunnel round-trips into a few chunked device programs
-            return clf._predict_regular_batch([d["text"] for d in rows], 1)
-        return [clf.predict(d["text"], 1) for d in rows]
+            return clf._predict_regular_batch(texts, 1)
+        return clf._predict_dual_batch(texts, 1)
 
     report = {
         "data": args.data,

@@ -3,6 +3,32 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def test_batched_strategic_predicts_match_singles(synth_classifier_factory):
+    """predict_robust/_predict_dual delegate to the batched forms; the
+    batched sweep over N texts must agree with per-text calls (robust and
+    regular paths are deterministic; the dual path shares one candidate
+    key per call, so compare structure + the deterministic rows)."""
+    clf = synth_classifier_factory(config={
+        "enable_strategic_mode": True,
+        "cost_function_type": "linear",
+        "cost_coefficients": [0.1] * 128,
+    })
+    clf.add_examples([f"alpha:{i}" for i in range(6)] + [f"beta:{i}" for i in range(6)],
+                     ["alpha"] * 6 + ["beta"] * 6)
+    texts = ["alpha:q1", "beta:q2", "alpha:q3"]
+    batched = clf.predict_robust_batch(texts, 2)
+    singles = [clf.predict_robust(t, 2) for t in texts]
+    assert [[l for l, _ in row] for row in batched] == \
+        [[l for l, _ in row] for row in singles]
+    for row_b, row_s in zip(batched, singles):
+        for (lb, sb), (ls, ss) in zip(row_b, row_s):
+            assert abs(sb - ss) < 1e-5
+    dual = clf._predict_dual_batch(texts, 2)
+    assert len(dual) == 3 and all(len(r) == 2 for r in dual)
+    strat = clf.predict_strategic_batch(texts, 2)
+    assert len(strat) == 3 and all(r for r in strat)
 import pytest
 
 from adaptive_classifier_tpu.strategic import (
