@@ -57,11 +57,17 @@ class _Request:
     k: int
     priority: int = 0               # higher = served sooner
     deadline: Optional[float] = None  # time.monotonic() cutoff
+    mode: str = "regular"           # "regular"|"dual"|"strategic"|"robust"
     future: "Future" = field(default_factory=Future)
 
     def expired(self, now: Optional[float] = None) -> bool:
         return (self.deadline is not None
                 and (now if now is not None else time.monotonic()) > self.deadline)
+
+
+#: prediction modes → batched classifier entry points (batches never mix
+#: modes; the strategic forms require enable_strategic_mode)
+_PREDICT_MODES = ("regular", "dual", "strategic", "robust")
 
 
 class _PriorityChannel:
@@ -186,21 +192,29 @@ class BatchingClassifierServer:
 
     def submit_predict(self, text: str, k: int = 5, priority: int = 0,
                        deadline_ms: Optional[float] = None,
-                       model: str = "default") -> "Future":
+                       model: str = "default",
+                       mode: str = "regular") -> "Future":
         deadline = (time.monotonic() + deadline_ms / 1000.0
                     if deadline_ms is not None else None)
         if model not in self.classifiers:
             f: Future = Future()
             f.set_exception(KeyError(f"unknown model {model!r}"))
             return f
+        if mode not in _PREDICT_MODES:
+            f = Future()
+            f.set_exception(ValueError(
+                f"unknown mode {mode!r} (use one of {_PREDICT_MODES})"))
+            return f
         return self._admit(_Request("predict", model, [text], None, k,
-                                    priority=priority, deadline=deadline))
+                                    priority=priority, deadline=deadline,
+                                    mode=mode))
 
     def predict(self, text: str, k: int = 5, timeout: Optional[float] = None,
                 priority: int = 0, deadline_ms: Optional[float] = None,
-                model: str = "default"):
+                model: str = "default", mode: str = "regular"):
         return self.submit_predict(
             text, k, priority=priority, deadline_ms=deadline_ms, model=model,
+            mode=mode,
         ).result(timeout=timeout)
 
     def submit_add_examples(self, texts: List[str], labels: List[str],
@@ -252,7 +266,8 @@ class BatchingClassifierServer:
                 break
             if nxt is None:
                 break
-            if nxt.kind != "predict" or nxt.model != first.model:
+            if (nxt.kind != "predict" or nxt.model != first.model
+                    or nxt.mode != first.mode):
                 self._held = nxt
                 break
             batch.append(nxt)
@@ -278,10 +293,21 @@ class BatchingClassifierServer:
 
                 texts = [r.texts[0] for r in batch]
                 k = max(r.k for r in batch)
+                mode = batch[0].mode
                 try:
-                    results = clf.predict_batch(
-                        texts, k=k, batch_size=self.max_batch_size
-                    )
+                    if mode == "robust":
+                        results = clf.predict_robust_batch(texts, k=k)
+                    elif mode == "strategic":
+                        results = clf.predict_strategic_batch(texts, k=k)
+                    elif mode == "dual":
+                        # predict()'s strategic-mode semantics, batched
+                        results = (clf._predict_dual_batch(texts, k=k)
+                                   if clf.strategic_mode
+                                   else clf._predict_regular_batch(texts, k))
+                    else:
+                        results = clf.predict_batch(
+                            texts, k=k, batch_size=self.max_batch_size
+                        )
                     for r, res in zip(batch, results):
                         r.future.set_result(res[: r.k])
                 except Exception as e:

@@ -162,3 +162,33 @@ def test_multi_tenant_add_model_and_training(synth_classifier_factory):
     with pytest.raises(ValueError):
         server.add_model("animals", clf_b)
     server.stop()
+
+
+def test_prediction_modes(synth_classifier_factory):
+    """mode='robust'/'strategic'/'dual' route through the batched strategic
+    entry points; batches never mix modes; unknown modes error."""
+    clf = synth_classifier_factory(config={
+        "enable_strategic_mode": True,
+        "cost_function_type": "linear",
+        "cost_coefficients": [0.1] * 128,
+    })
+    clf.add_examples([f"alpha:{i}" for i in range(6)] + [f"beta:{i}" for i in range(6)],
+                     ["alpha"] * 6 + ["beta"] * 6)
+    with BatchingClassifierServer(clf, max_wait_ms=5) as server:
+        direct = clf.predict_robust("alpha:query", 2)
+        served = server.predict("alpha:query", k=2, mode="robust")
+        assert [l for l, _ in served] == [l for l, _ in direct]
+        for (_, a), (_, b) in zip(served, direct):
+            assert abs(a - b) < 1e-5
+        strat = server.predict("beta:query", k=2, mode="strategic")
+        assert strat and all(isinstance(l, str) for l, _ in strat)
+        dual = server.predict("alpha:query", k=2, mode="dual")
+        assert dual and len(dual) <= 2
+        # mixed-mode burst: every request gets a valid result
+        futs = [server.submit_predict(f"alpha:{i}", k=1,
+                                      mode=("robust" if i % 2 else "regular"))
+                for i in range(8)]
+        assert all(f.result(timeout=30) for f in futs)
+        import pytest
+        with pytest.raises(ValueError, match="unknown mode"):
+            server.predict("alpha:x", mode="telepathy")
