@@ -52,6 +52,10 @@ def main():
                 for i in range(8)]
         print("urgent intent:", urgent.result(timeout=120)[0])
         print("bulk sentiment:", bulk[0].result(timeout=120)[0])
+        # prototype-heavy scoring for inputs suspected of being manipulated
+        robust = server.predict("PLEASE reset password NOW cancel billing",
+                                model="intents", mode="robust")
+        print("robust-mode intent:", robust[0])
         print("server stats:", server.stats())
 
     # --- calibrated confidence ----------------------------------------
