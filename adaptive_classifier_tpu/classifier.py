@@ -1086,9 +1086,21 @@ class AdaptiveClassifier:
                 self.memory.remove_label(label)
 
     def merge_classifiers(self, other: "AdaptiveClassifier") -> "AdaptiveClassifier":
-        """Reference classifier.py:1402-1426."""
+        """Reference classifier.py:1402-1426.
+
+        When the two classifiers embed in DIFFERENT spaces (either encoder
+        fine-tuned, or different base models), copying ``other``'s raw
+        embedding rows would score them against this classifier's
+        prototypes in a mismatched space — instead ``other``'s texts are
+        re-embedded with THIS classifier's encoder.  The reference never
+        hits this case (its encoders are frozen and merge is same-model)."""
         if self.embedding_dim != other.embedding_dim:
             raise ValueError("Classifiers have different embedding dimensions")
+        same_space = (
+            self.model_name == other.model_name
+            and not getattr(self.encoder, "_finetuned", False)
+            and not getattr(other.encoder, "_finetuned", False)
+        )
         next_idx = max(self.id_to_label.keys()) + 1 if self.id_to_label else 0
         for label in other.label_to_id:
             if label not in self.label_to_id:
@@ -1100,8 +1112,12 @@ class AdaptiveClassifier:
             n = len(other.memory.texts.get(label, ()))
             if n == 0:
                 continue
-            embs = np.asarray(other.memory.state.emb[slot, :n])
-            self.memory.add_batch_host(list(other.memory.texts[label]), embs, [label] * n)
+            texts = list(other.memory.texts[label])
+            if same_space:
+                embs = np.asarray(other.memory.state.emb[slot, :n])
+            else:
+                embs = self._get_embeddings(texts)
+            self.memory.add_batch_host(texts, embs, [label] * n)
         if self.head_params is not None:
             self._initialize_adaptive_head()
             self._ensure_head_capacity()

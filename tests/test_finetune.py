@@ -296,6 +296,30 @@ class TestClassifierFinetune:
                                     augment="typo")
         assert np.isfinite(rep2["final_loss"])
 
+    def test_merge_reembeds_across_finetuned_spaces(self):
+        """merge_classifiers with a fine-tuned source must re-embed the
+        source's texts with the TARGET encoder — raw rows from a different
+        embedding space would corrupt the merged prototypes."""
+        src = self._make(embedding_cache_size=0)
+        src.add_examples(["ship my parcel today", "where is my delivery"],
+                         ["shipping", "shipping"])
+        src.finetune_encoder(steps=10, chunk_steps=10, batch=4, lr=1e-4)
+
+        dst = self._make(embedding_cache_size=0)
+        dst.add_examples(["refund the charge", "wrong bill amount"],
+                         ["billing", "billing"])
+        dst.merge_classifiers(src)
+        # merged prototype must equal the mean of DST-encoder embeddings of
+        # the source texts (i.e. texts were re-embedded, not copied)
+        want = dst._get_embeddings(["ship my parcel today",
+                                    "where is my delivery"]).mean(axis=0)
+        got = dst.memory.prototypes["shipping"]
+        cos = float(np.dot(want, got) /
+                    (np.linalg.norm(want) * np.linalg.norm(got)))
+        assert cos > 0.999, cos
+        preds = dst.predict("track my delivery status", k=2)
+        assert len(preds) == 2
+
     def test_int8_guard(self):
         clf = self._make(quantization="int8")
         if clf.encoder.quantization != "int8":  # CPU resolves 'auto' off only
