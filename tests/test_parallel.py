@@ -223,6 +223,25 @@ def test_sharded_facade_matches_plain(mesh):
     assert not shard.memory.state.emb.sharding.is_fully_replicated
 
 
+def test_facade_finetune_keeps_sharding(mesh):
+    """finetune_encoder on the sharded facade: memory re-embeds through the
+    sharded state setter, so placement survives the weight swap."""
+    from adaptive_classifier_tpu.parallel.facade import ShardedAdaptiveClassifier
+
+    clf = ShardedAdaptiveClassifier("prajjwal1/bert-tiny", mesh=mesh, config={
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32], "embedding_cache_size": 0,
+    })
+    clf.add_examples(["billing problem one", "billing problem two",
+                      "login failure one", "login failure two"],
+                     ["billing", "billing", "login", "login"])
+    rep = clf.finetune_encoder(steps=10, chunk_steps=10, batch=4)
+    assert np.isfinite(rep["final_loss"])
+    assert not clf.memory.state.emb.sharding.is_fully_replicated
+    preds = clf.predict("cannot pay my bill", k=2)
+    assert len(preds) == 2
+
+
 def test_multihost_noop_on_single_host(monkeypatch):
     """Without a coordinator address, distributed init is a no-op."""
     from adaptive_classifier_tpu.parallel import multihost
