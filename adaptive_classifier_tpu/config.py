@@ -198,7 +198,11 @@ class ModelConfig:
         return bucket_capacity(max(num_classes, 1), self.class_capacity_buckets)
 
     def example_capacity(self, max_count: int) -> int:
-        cap_limit = self.max_examples_per_class + self.example_capacity_slack
+        # ≥1 row of headroom above max_examples_per_class is load-bearing:
+        # appends land in the slack region and prune trims back down — with
+        # zero headroom add_batch would clip onto row E-1, silently
+        # overwriting a stored example and desyncing text↔embedding pairs
+        cap_limit = self.max_examples_per_class + max(self.example_capacity_slack, 1)
         return min(bucket_capacity(max(max_count, 1), self.example_capacity_buckets), cap_limit)
 
     def train_capacity(self, n: int) -> int:

@@ -189,8 +189,9 @@ class PrototypeMemory:
         # the reference has no locks and survives threaded adds only by
         # grace of the GIL (tests/test_memory.py:226-256); here mutations are
         # explicitly serialized so host bookkeeping and device state can
-        # never diverge under concurrent writers
-        self._write_lock = threading.Lock()
+        # never diverge under concurrent writers.  Re-entrant: public
+        # mutators take it and may call locked helpers.
+        self._write_lock = threading.RLock()
         self.label_to_index: Dict[str, int] = {}
         self.index_to_label: Dict[int, str] = {}
         self.texts: Dict[str, List[str]] = {}
@@ -217,13 +218,14 @@ class PrototypeMemory:
             logger.debug(f"Memory grown to C={C_new}, E={E_new}")
 
     def _slot(self, label: str) -> int:
-        if label not in self.label_to_index:
-            idx = len(self.label_to_index)
-            self._ensure_capacity(idx + 1, 1)
-            self.label_to_index[label] = idx
-            self.index_to_label[idx] = label
-            self.texts[label] = []
-        return self.label_to_index[label]
+        with self._write_lock:
+            if label not in self.label_to_index:
+                idx = len(self.label_to_index)
+                self._ensure_capacity(idx + 1, 1)
+                self.label_to_index[label] = idx
+                self.index_to_label[idx] = label
+                self.texts[label] = []
+            return self.label_to_index[label]
 
     def register_label(self, label: str) -> int:
         """Pre-register a label so memory slot ids equal classifier label ids.
@@ -271,8 +273,13 @@ class PrototypeMemory:
 
         E = self.state.example_capacity
         max_ex = min(self.config.max_examples_per_class, E)
+        if E <= max_ex and self.config.example_capacity(E + 1) <= E and E > 1:
+            # the buffer is at its bucket ceiling AND cannot grow: reserve
+            # one slack row, else add_batch clips appends onto row E-1 and
+            # silently overwrites a stored example (text↔embedding desync)
+            max_ex = E - 1
         headroom = max(E - max_ex, 1)
-        chunk = max(1, min(self.config.example_capacity_slack, headroom))
+        chunk = max(1, min(max(self.config.example_capacity_slack, 1), headroom))
         for s in range(0, len(labels), chunk):
             cs = slice(s, s + chunk)
             self.state = add_batch(
@@ -328,20 +335,22 @@ class PrototypeMemory:
 
     def clear(self):
         """Reference memory.py:238-245."""
-        C, E, D = self.state.emb.shape
-        self.state = init_state(C, E, D)
-        self.label_to_index.clear()
-        self.index_to_label.clear()
-        self.texts.clear()
-        self.strategic_prototypes.clear()
-        self.updates_since_rebuild = 0
+        with self._write_lock:
+            C, E, D = self.state.emb.shape
+            self.state = init_state(C, E, D)
+            self.label_to_index.clear()
+            self.index_to_label.clear()
+            self.texts.clear()
+            self.strategic_prototypes.clear()
+            self.updates_since_rebuild = 0
 
     def remove_label(self, label: str):
-        if label not in self.label_to_index:
-            return
-        slot = self.label_to_index[label]
-        self.state = clear_class(self.state, slot)
-        self.texts[label] = []
+        with self._write_lock:
+            if label not in self.label_to_index:
+                return
+            slot = self.label_to_index[label]
+            self.state = clear_class(self.state, slot)
+            self.texts[label] = []
 
     # -- queries -------------------------------------------------------
     def sims_for(self, queries: jax.Array) -> jax.Array:
@@ -349,6 +358,17 @@ class PrototypeMemory:
         return knn.masked_sims(
             queries, self.state.proto, self.state.valid,
             pallas_min_classes=self.config.pallas_knn_min_classes,
+        )
+
+    def _topk_search(self, q: jax.Array, k: int):
+        """→ (scores [1,k], idx [1,k], raw [1,k]); overridable search core
+        (ShardedPrototypeMemory swaps in the shard_map path)."""
+        # large indexes route through the two-stage fused top-k kernel
+        # (ops/knn_topk.py) — the [1, C] similarity row never materializes
+        return knn_topk.topk_scores_auto(
+            q, self.state.proto, self.state.valid, k,
+            fused_min_classes=self.config.fused_topk_min_classes,
+            return_raw=True,
         )
 
     def get_nearest_prototypes(
@@ -364,13 +384,7 @@ class PrototypeMemory:
             return []
         k = min(k, n_valid)
         q = jnp.asarray(np.asarray(query_embedding, np.float32)).reshape(1, -1)
-        # large indexes route through the two-stage fused top-k kernel
-        # (ops/knn_topk.py) — the [1, C] similarity row never materializes
-        scores, idx, raw = knn_topk.topk_scores_auto(
-            q, self.state.proto, self.state.valid, k,
-            fused_min_classes=self.config.fused_topk_min_classes,
-            return_raw=True,
-        )
+        scores, idx, raw = self._topk_search(q, k)
         scores = np.asarray(scores[0])
         idx = np.asarray(idx[0])
         # min_similarity thresholds the RAW exp(−d²) similarity (the scale the
@@ -436,6 +450,10 @@ class PrototypeMemory:
         recomputing from the (lossy, k-means-selected) saved examples, so
         predictions stay consistent across save/load.
         """
+        with self._write_lock:
+            return self._restore_class_locked(label, texts, embs, prototype)
+
+    def _restore_class_locked(self, label, texts, embs, prototype):
         slot = self._slot(label)
         n = len(texts)
         self._ensure_capacity(len(self.label_to_index), max(n, 1))

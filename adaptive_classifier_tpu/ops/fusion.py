@@ -28,6 +28,38 @@ import jax.numpy as jnp
 from . import knn
 
 
+def _sims_and_logits(emb, proto, proto_valid, head_params, has_head,
+                     pallas_min_classes):
+    """Shared *_from_emb preamble: masked kNN sims + head logits."""
+    from ..models import head as head_lib
+
+    sims = knn.masked_sims(emb, proto, proto_valid,
+                           pallas_min_classes=pallas_min_classes)
+    if has_head:
+        logits = head_lib.head_forward(head_params, emb, train=False)
+    else:
+        logits = jnp.zeros_like(sims)
+    return sims, logits
+
+
+def _combined_dist(sims, logits, proto_valid, active, proto_w, head_w,
+                   has_head):
+    """Per-label-weight combination of prototype scores and head softmax
+    (the ``_predict_regular`` semantics, reference classifier.py:449-480),
+    sum-normalized.  → (combined [B, C], scorable [C])."""
+    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
+    combined = proto_scores * proto_w[None, :]
+    if has_head:
+        masked = jnp.where(active[None, :], logits, -1e9)
+        head_probs = jax.nn.softmax(masked, axis=-1)
+        head_probs = jnp.where(active[None, :], head_probs, 0.0)
+        combined = combined + head_probs * head_w[None, :]
+    total = jnp.sum(combined, axis=-1, keepdims=True)
+    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12), combined)
+    scorable = proto_valid | (active if has_head else jnp.zeros_like(active))
+    return combined, scorable
+
+
 @functools.partial(jax.jit, static_argnames=("k", "has_head"))
 def fuse_full(
     sims: jax.Array,          # [B, C] masked exp(−d²) similarities
@@ -40,16 +72,8 @@ def fuse_full(
     has_head: bool,
 ) -> Tuple[jax.Array, jax.Array]:
     """→ (scores [B, k], class ids [B, k]); empty slots get id −1, score 0."""
-    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
-    combined = proto_scores * proto_w[None, :]
-    if has_head:
-        masked = jnp.where(active[None, :], logits, -1e9)
-        head_probs = jax.nn.softmax(masked, axis=-1)
-        head_probs = jnp.where(active[None, :], head_probs, 0.0)
-        combined = combined + head_probs * head_w[None, :]
-    total = jnp.sum(combined, axis=-1, keepdims=True)
-    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12), combined)
-    scorable = proto_valid | (active if has_head else jnp.zeros_like(active))
+    combined, scorable = _combined_dist(sims, logits, proto_valid, active,
+                                        proto_w, head_w, has_head)
     ranked = jnp.where(scorable[None, :], combined, -jnp.inf)
     vals, idx = jax.lax.top_k(ranked, k)
     n_scorable = jnp.sum(scorable.astype(jnp.int32))
@@ -80,14 +104,8 @@ def fuse_topk_from_emb(
     never round-trip HBM.  Semantics identical to
     ``fuse_topk(masked_sims(...), head_forward(...), ...)``.
     """
-    from ..models import head as head_lib
-
-    sims = knn.masked_sims(emb, proto, proto_valid,
-                           pallas_min_classes=pallas_min_classes)
-    if has_head:
-        logits = head_lib.head_forward(head_params, emb, train=False)
-    else:
-        logits = jnp.zeros_like(sims)
+    sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
+                                    has_head, pallas_min_classes)
     return fuse_topk(sims, logits, proto_valid, active,
                      proto_weight, head_weight, k, has_head)
 
@@ -109,14 +127,8 @@ def fuse_full_from_emb(
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN sims + head forward + full-class fusion as ONE device program
     (the ``_predict_regular`` semantics — per-label history weights)."""
-    from ..models import head as head_lib
-
-    sims = knn.masked_sims(emb, proto, proto_valid,
-                           pallas_min_classes=pallas_min_classes)
-    if has_head:
-        logits = head_lib.head_forward(head_params, emb, train=False)
-    else:
-        logits = jnp.zeros_like(sims)
+    sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
+                                    has_head, pallas_min_classes)
     return fuse_full(sims, logits, proto_valid, active, proto_w, head_w,
                      k, has_head)
 
@@ -140,25 +152,10 @@ def fuse_dist_from_emb(
     returned whole instead of top-k'd — the ``predict_proba`` surface.
     Rows sum to 1 over scorable classes; non-scorable columns are 0.
     """
-    from ..models import head as head_lib
-
-    sims = knn.masked_sims(emb, proto, proto_valid,
-                           pallas_min_classes=pallas_min_classes)
-    if has_head:
-        logits = head_lib.head_forward(head_params, emb, train=False)
-    else:
-        logits = jnp.zeros_like(sims)
-    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
-    combined = proto_scores * proto_w[None, :]
-    if has_head:
-        masked = jnp.where(active[None, :], logits, -1e9)
-        head_probs = jax.nn.softmax(masked, axis=-1)
-        head_probs = jnp.where(active[None, :], head_probs, 0.0)
-        combined = combined + head_probs * head_w[None, :]
-    total = jnp.sum(combined, axis=-1, keepdims=True)
-    combined = jnp.where(total > 0, combined / jnp.maximum(total, 1e-12),
-                         combined)
-    scorable = proto_valid | (active if has_head else jnp.zeros_like(active))
+    sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
+                                    has_head, pallas_min_classes)
+    combined, scorable = _combined_dist(sims, logits, proto_valid, active,
+                                        proto_w, head_w, has_head)
     return jnp.where(scorable[None, :], combined, 0.0)
 
 

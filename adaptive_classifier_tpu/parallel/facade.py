@@ -65,34 +65,18 @@ class ShardedPrototypeMemory(PrototypeMemory):
         C = self.state.class_capacity
         return ntp > 1 and C >= self.shard_knn_min_classes and C % ntp == 0
 
-    def get_nearest_prototypes(self, query_embedding, k: int = 5,
-                               min_similarity=None):
+    def _topk_search(self, q, k: int):
+        """Swap the search core for the shard_map path above the threshold;
+        the surrounding semantics (early-return, k clamp, min_similarity on
+        raw scores, label assembly) stay in the single base implementation
+        (memory.get_nearest_prototypes)."""
         if not self._use_shard_knn():
-            return super().get_nearest_prototypes(query_embedding, k,
-                                                  min_similarity)
-        import numpy as np
-        import jax.numpy as jnp
-
+            return super()._topk_search(q, k)
         from .sharded_knn import make_sharded_topk
 
-        counts = self._counts_host()
-        n_valid = sum(1 for v in counts.values() if v > 0)
-        if n_valid == 0:
-            return []
-        k = min(k, n_valid)
         if k not in self._sharded_topk:
             self._sharded_topk[k] = make_sharded_topk(self.mesh, k)
-        q = jnp.asarray(np.asarray(query_embedding, np.float32)).reshape(1, -1)
-        scores, idx, raw = self._sharded_topk[k](
-            q, self.state.proto, self.state.valid)
-        scores, idx, raw = np.asarray(scores[0]), np.asarray(idx[0]), np.asarray(raw[0])
-        results = []
-        for i, s, r in zip(idx, scores, raw):
-            if i >= 0:
-                if min_similarity is not None and r < min_similarity:
-                    continue
-                results.append((self.index_to_label[int(i)], float(s)))
-        return results
+        return self._sharded_topk[k](q, self.state.proto, self.state.valid)
 
 
 class ShardedAdaptiveClassifier(AdaptiveClassifier):

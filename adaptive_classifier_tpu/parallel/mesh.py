@@ -33,7 +33,10 @@ def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,
         devices = devices[:n_devices]
     n = len(devices)
     if dp is None and tp is None:
-        # favor tp (index sharding) but keep dp ≥ 2 when possible
+        # default: dp gets the LARGER factor (throughput-first — batch
+        # parallelism is what serving needs until the index outgrows one
+        # shard's HBM); pass tp= explicitly for index-capacity-first
+        # layouts.  tp = largest divisor ≤ √n, e.g. n=8 → dp=4, tp=2.
         tp = 1
         for cand in range(int(np.sqrt(n)), 0, -1):
             if n % cand == 0:
@@ -59,9 +62,6 @@ def memory_shardings(mesh: Mesh):
 
 def head_shardings(mesh: Mesh, params) -> dict:
     """Column-parallel output layer; hidden layers replicated."""
-    def spec(path_leaf):
-        return path_leaf
-
     hidden = [
         {"w": NamedSharding(mesh, P(None, None)), "b": NamedSharding(mesh, P(None))}
         for _ in params["hidden"]

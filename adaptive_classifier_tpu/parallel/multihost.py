@@ -31,10 +31,30 @@ def initialize_distributed(
     if coordinator_address is None:
         logger.debug("single-host run; jax.distributed not initialized")
         return False
+    # explicit args win over env vars — `or` would treat process_id=0 as
+    # missing and read a (possibly stale) env value instead
+    if num_processes is None:
+        env_np = os.environ.get("JAX_NUM_PROCESSES")
+        if env_np is None:
+            raise ValueError(
+                "coordinator address set but num_processes unknown: pass "
+                "num_processes= or set JAX_NUM_PROCESSES (silently "
+                "defaulting to 1 would give the coordinator a wrong world "
+                "size and hang the other hosts)"
+            )
+        num_processes = int(env_np)
+    if process_id is None:
+        env_pid = os.environ.get("JAX_PROCESS_ID")
+        if env_pid is None:
+            raise ValueError(
+                "coordinator address set but process_id unknown: pass "
+                "process_id= or set JAX_PROCESS_ID"
+            )
+        process_id = int(env_pid)
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     logger.info(
         f"jax.distributed initialized: process {jax.process_index()}/{jax.process_count()}"

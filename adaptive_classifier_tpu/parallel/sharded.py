@@ -16,13 +16,13 @@ Implements the multi-chip execution paths (SURVEY.md §2.3's TPU-native plan):
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..memory import MemoryState, add_batch, recompute_prototypes
+from ..memory import MemoryState, add_batch, prune, recompute_prototypes
 from ..models import head as head_lib
 from ..models.encoder import EncoderConfig, embed_texts_device
 from ..ops import knn, fusion
@@ -61,11 +61,18 @@ class ShardedTrainState(NamedTuple):
 
 
 def make_sharded_train_step(mesh: Mesh, enc_cfg: EncoderConfig,
-                            compute_dtype=jnp.bfloat16, lr: float = 1e-3):
+                            compute_dtype=jnp.bfloat16, lr: float = 1e-3,
+                            max_examples: Optional[int] = None):
     """One full training step, dp×tp sharded:
 
-    tokens → encoder (dp) → embeddings → [memory append + prototype
-    recompute (tp)] → head CE loss (class dim tp-sharded) → AdamW update.
+    tokens → encoder (dp) → embeddings → [memory append + capacity prune +
+    prototype recompute (tp)] → head CE loss (class dim tp-sharded, dropout
+    on like the single-chip path) → AdamW update.
+
+    ``labels == -1`` marks padding rows (the dp batch must be divisible by
+    the mesh, so tails are padded): they are excluded from the loss via
+    ``training._ce_loss``'s valid mask and from the memory append via
+    ``add_batch``'s convention — the same −1 semantics everywhere.
     """
     batch_spec = NamedSharding(mesh, P("dp", None))
     label_spec = NamedSharding(mesh, P("dp"))
@@ -78,17 +85,24 @@ def make_sharded_train_step(mesh: Mesh, enc_cfg: EncoderConfig,
                    attention_mask, labels, active, rng):
         emb = embed_texts_device(enc_params, input_ids, attention_mask,
                                  enc_cfg, compute_dtype)
+        labels = labels.astype(jnp.int32)
+        vmask = (labels >= 0).astype(jnp.float32)
 
         # memory append via the canonical batched transition: within-batch
-        # rank ordering means duplicate labels land in distinct slots (same
-        # semantics as single-chip appends, memory.add_batch)
-        mem = add_batch(state.memory, emb, labels.astype(jnp.int32))
+        # rank ordering means duplicate labels land in distinct slots and
+        # −1 rows drop (same semantics as single-chip appends,
+        # memory.add_batch); capacity prune keeps the closest-to-mean rows
+        # so long-running loops never clip appends onto the last row
+        mem = add_batch(state.memory, emb, labels)
+        cap = max_examples if max_examples is not None else \
+            max(state.memory.emb.shape[1] - 1, 1)
+        mem, _ = prune(mem, cap)
 
         def loss_fn(p):
-            logits = head_lib.head_forward(p, emb, train=False)
-            logits = jnp.where(active[None, :], logits, head_lib.NEG_INF)
-            logp = jax.nn.log_softmax(logits, axis=-1)
-            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+            # the canonical masked CE (training._ce_loss): dropout ON with
+            # the caller's rng and padded rows excluded — identical
+            # semantics to the single-chip head-training loss
+            return training._ce_loss(p, emb, labels, vmask, active, rng)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.head_params)
         grads = training.clip_global_norm(grads, 1.0)

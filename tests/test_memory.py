@@ -231,3 +231,32 @@ def test_min_similarity_filter():
     assert [lbl for lbl, _ in filtered] == ["a"]
     # threshold above 1.0 removes everything
     assert mem.get_nearest_prototypes(vec(1), k=3, min_similarity=1.5) == []
+
+
+def test_zero_headroom_capacity_never_corrupts_alignment():
+    """Regression: example_capacity_slack=0 with a bucket ceiling equal to
+    max_examples_per_class used to make add_batch clip appends onto the
+    last row, silently overwriting stored examples and desyncing
+    text<->embedding pairs.  Now one slack row is always reserved."""
+    from adaptive_classifier_tpu.config import ModelConfig
+    from adaptive_classifier_tpu.memory import PrototypeMemory
+
+    cfg = ModelConfig({"example_capacity_buckets": [4],
+                       "max_examples_per_class": 4,
+                       "example_capacity_slack": 0,
+                       "class_capacity_buckets": [8]})
+    mem = PrototypeMemory(8, config=cfg)
+    rng = np.random.default_rng(0)
+    vecs = {}
+    for i in range(6):
+        v = rng.standard_normal(8).astype(np.float32)
+        v /= np.linalg.norm(v)
+        vecs[f"t{i}"] = v
+        mem.add_batch_host([f"t{i}"], v[None, :], ["a"])
+    # every surviving text's stored row is ITS OWN embedding
+    slot = mem.label_to_index["a"]
+    texts = mem.texts["a"]
+    assert 1 <= len(texts) <= 4
+    emb = np.asarray(mem.state.emb[slot, :len(texts)])
+    for row, t in zip(emb, texts):
+        np.testing.assert_allclose(row, vecs[t], atol=1e-6, err_msg=t)
