@@ -81,6 +81,8 @@ def dataset_specs():
         ("emotions", "joy/anger/sadness/fear emotion detection"),
         ("topic", "sports/technology/business/politics news topics"),
         ("priority", "urgent/normal/low support-ticket priority"),
+        ("moderation", "ok/toxic/pii content moderation"),
+        ("category", "electronics/clothing/home-kitchen/sports-outdoors products"),
     ):
         blob = json.loads((data / f"{name}.json").read_text())
         specs[name] = {
