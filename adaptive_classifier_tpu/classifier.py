@@ -93,6 +93,10 @@ class AdaptiveClassifier:
         #: fitted TemperatureScaler (calibration.py); None until calibrate()
         self._temperature_scaler = None
 
+        #: per-class prototype-softmax bias fitted after incremental class
+        #: addition (training.fit_proto_bias); None = exact reference scoring
+        self._proto_bias: Optional[np.ndarray] = None
+
         # Strategic components (classifier.py:105-112)
         self.strategic_cost_function: Optional[StrategicCostFunction] = None
         self.strategic_optimizer: Optional[StrategicOptimizer] = None
@@ -232,6 +236,16 @@ class AdaptiveClassifier:
             pw[idx] = 0.3 if self.training_history.get(label, 0) < 10 else 0.7
         return jnp.asarray(pw), jnp.asarray(1.0 - pw)
 
+    def _proto_bias_arr(self) -> Optional[jax.Array]:
+        """Calibration bias padded to the current class capacity (or None)."""
+        if self._proto_bias is None:
+            return None
+        C = self._class_capacity
+        b = np.zeros((C,), np.float32)
+        n = min(len(self._proto_bias), C)
+        b[:n] = self._proto_bias[:n]
+        return jnp.asarray(b)
+
     def _head_logits(self, emb: jax.Array) -> jax.Array:
         if self.head_params is None:
             return jnp.zeros((emb.shape[0], self._class_capacity))
@@ -272,6 +286,8 @@ class AdaptiveClassifier:
             old_head = self.head_params  # params are immutable pytrees
             self._ensure_head_capacity()
             self._train_new_classes(old_head, new_classes)
+            if self.config.prototype_recalibration:
+                self._recalibrate_prototypes()
         else:
             if self.head_params is None:
                 self._initialize_adaptive_head()
@@ -428,6 +444,32 @@ class AdaptiveClassifier:
         self.head_params = result.params
         self.train_steps += 1
 
+    def _recalibrate_prototypes(self):
+        """Fit the per-class prototype-softmax bias on the replay store
+        (training.fit_proto_bias) — the prototype-side fix for the
+        issue-#53 old-class accuracy drop after incremental class addition
+        (reference tests/test_new_class_accuracy_preservation.py:188-198).
+        EWC alone cannot clear that bar: the drop is prototype-softmax
+        renormalization, not head drift (docs/architecture.md deviation #6/#7).
+        """
+        n_total = sum(len(t) for t in self.memory.texts.values())
+        if n_total < 2 or len(self.label_to_id) < 2:
+            return
+        n_cap = self.config.train_capacity(n_total)
+        emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
+        sims = self.memory.sims_for(emb)
+        logits = self._head_logits(emb)
+        pw, hw = self._history_weights()
+        bias, _ = training.fit_proto_bias(
+            sims, logits, lbl, valid,
+            self.memory.state.valid, self._active_mask(), pw, hw,
+            self.head_params is not None,
+            steps=self.config.recalibration_steps,
+            lr=self.config.recalibration_lr,
+            l2=self.config.recalibration_l2,
+        )
+        self._proto_bias = np.asarray(bias, np.float32)
+
     # ------------------------------------------------------------------
     # prediction (reference classifier.py:392-522)
     # ------------------------------------------------------------------
@@ -459,11 +501,14 @@ class AdaptiveClassifier:
         state = self.memory.state
         active = self._active_mask()
 
+        proto_bias = self._proto_bias_arr()
+
         def fuse_dev(emb):
             return fusion.fuse_full_from_emb(
                 emb, state.proto, state.valid, self.head_params, active,
                 pw, hw, kk, has_head,
                 pallas_min_classes=self.config.pallas_knn_min_classes,
+                proto_bias=proto_bias,
             )
 
         return self._device_predict_rows(texts, fuse_dev, kk, k)
@@ -485,6 +530,8 @@ class AdaptiveClassifier:
         state = self.memory.state
         active = self._active_mask()
 
+        proto_bias = self._proto_bias_arr()
+
         def fuse_dev(emb):
             # ONE device program per chunk (sims + head + fusion): each
             # executable launch costs multi-ms host RTT on a tunneled TPU
@@ -492,6 +539,7 @@ class AdaptiveClassifier:
                 emb, state.proto, state.valid, self.head_params, active,
                 0.7, 0.3, kk, has_head,
                 pallas_min_classes=self.config.pallas_knn_min_classes,
+                proto_bias=proto_bias,
             )
 
         return self._device_predict_rows(texts, fuse_dev, kk, k)
@@ -526,11 +574,14 @@ class AdaptiveClassifier:
             or type(self)._get_embeddings is not AdaptiveClassifier._get_embeddings
         )
 
+        proto_bias = self._proto_bias_arr()
+
         def dist(emb):
             return fusion.fuse_dist_from_emb(
                 emb, state.proto, state.valid, self.head_params, active,
                 pw, hw, has_head,
                 pallas_min_classes=self.config.pallas_knn_min_classes,
+                proto_bias=proto_bias,
             )
 
         parts = []
@@ -837,7 +888,7 @@ class AdaptiveClassifier:
         kk = min(max(k, 1), self._class_capacity)
         scores, ids = fusion.fuse_topk(
             sims, logits, self.memory.state.valid, self._active_mask(),
-            pw, hw, kk, has_head,
+            pw, hw, kk, has_head, proto_bias=self._proto_bias_arr(),
         )
         scores_np, ids_np = np.asarray(scores), np.asarray(ids)
         return [self._to_label_list(s, i)[:k]
@@ -1077,6 +1128,7 @@ class AdaptiveClassifier:
 
     def clear_memory(self, labels: Optional[List[str]] = None):
         """Reference classifier.py:1390-1400."""
+        self._proto_bias = None  # calibration is stale once memory changes
         if labels is None:
             self.memory.clear()
             for label in self.id_to_label.values():
@@ -1118,6 +1170,7 @@ class AdaptiveClassifier:
             else:
                 embs = self._get_embeddings(texts)
             self.memory.add_batch_host(texts, embs, [label] * n)
+        self._proto_bias = None  # class set changed; old calibration is stale
         if self.head_params is not None:
             self._initialize_adaptive_head()
             self._ensure_head_capacity()

@@ -158,6 +158,18 @@ class ModelConfig:
         self.fused_topk_min_classes = g("fused_topk_min_classes", 16384)
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
+        #: post-incremental prototype recalibration (deviation #7): after the
+        #: incremental new-class path, fit a per-class bias on the prototype
+        #: softmax logits (class-balanced CE through the fused distribution
+        #: over the replay store).  Fixes the reference's issue-#53 regime —
+        #: old-class accuracy dropping >10% when classes are added — which
+        #: EWC provably cannot (the failure is prototype-side softmax
+        #: renormalization, docs/architecture.md deviation #6).  Zero bias
+        #: (or disabling this) is exact reference scoring.
+        self.prototype_recalibration = g("prototype_recalibration", True)
+        self.recalibration_steps = g("recalibration_steps", 300)
+        self.recalibration_lr = g("recalibration_lr", 0.05)
+        self.recalibration_l2 = g("recalibration_l2", 1e-3)
         #: host-side LRU for text→embedding (0 disables); the encoder is
         #: frozen so cached rows never go stale
         self.embedding_cache_size = g("embedding_cache_size", 4096)
@@ -190,6 +202,10 @@ class ModelConfig:
             "strategic_num_candidates": self.strategic_num_candidates,
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
+            "prototype_recalibration": self.prototype_recalibration,
+            "recalibration_steps": self.recalibration_steps,
+            "recalibration_lr": self.recalibration_lr,
+            "recalibration_l2": self.recalibration_l2,
         })
         return d
 

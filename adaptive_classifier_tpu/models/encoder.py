@@ -197,12 +197,19 @@ def encoder_forward(
     cfg: EncoderConfig,
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    remat: bool = False,
 ) -> jax.Array:
     """Full encoder forward → last_hidden_state ``[B, S, D]`` (float32).
 
     ``use_flash=True`` routes attention through the Pallas flash-attention
     kernel (ops/flash_attention.py) — the long-sequence HBM-bandwidth path;
     the default einsum path lets XLA fuse for short sequences.
+
+    ``remat=True`` rematerializes each layer in the backward pass
+    (``jax.checkpoint`` on the scan body) — trades ~1/3 extra FLOPs for
+    activation memory that no longer scales with depth.  Used by the MLM
+    pretrainer (8L/512H at B=256 exceeds v5e HBM without it); inference
+    paths never need it.
     """
     if cfg.arch == "modernbert":
         from .modernbert import modernbert_forward
@@ -288,7 +295,8 @@ def encoder_forward(
                            cfg.layer_norm_eps, use_pallas=use_fused_ln)
         return h, None
 
-    h, _ = jax.lax.scan(layer_body, h, layers)
+    body = jax.checkpoint(layer_body) if remat else layer_body
+    h, _ = jax.lax.scan(body, h, layers)
     return h.astype(jnp.float32)
 
 

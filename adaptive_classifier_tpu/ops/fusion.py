@@ -43,11 +43,14 @@ def _sims_and_logits(emb, proto, proto_valid, head_params, has_head,
 
 
 def _combined_dist(sims, logits, proto_valid, active, proto_w, head_w,
-                   has_head):
+                   has_head, proto_bias=None):
     """Per-label-weight combination of prototype scores and head softmax
     (the ``_predict_regular`` semantics, reference classifier.py:449-480),
-    sum-normalized.  → (combined [B, C], scorable [C])."""
-    proto_scores = knn.full_scores(sims, proto_valid)          # [B, C]
+    sum-normalized.  → (combined [B, C], scorable [C]).
+
+    ``proto_bias`` (optional [C]) is the post-incremental prototype
+    recalibration; ``None``/zeros = exact reference semantics."""
+    proto_scores = knn.full_scores(sims, proto_valid, bias=proto_bias)  # [B, C]
     combined = proto_scores * proto_w[None, :]
     if has_head:
         masked = jnp.where(active[None, :], logits, -1e9)
@@ -70,10 +73,11 @@ def fuse_full(
     head_w: jax.Array,        # [C] float — per-label head weight
     k: int,
     has_head: bool,
+    proto_bias: jax.Array = None,   # [C] recalibration logits (optional)
 ) -> Tuple[jax.Array, jax.Array]:
     """→ (scores [B, k], class ids [B, k]); empty slots get id −1, score 0."""
     combined, scorable = _combined_dist(sims, logits, proto_valid, active,
-                                        proto_w, head_w, has_head)
+                                        proto_w, head_w, has_head, proto_bias)
     ranked = jnp.where(scorable[None, :], combined, -jnp.inf)
     vals, idx = jax.lax.top_k(ranked, k)
     n_scorable = jnp.sum(scorable.astype(jnp.int32))
@@ -95,6 +99,7 @@ def fuse_topk_from_emb(
     k: int,
     has_head: bool,
     pallas_min_classes: int = 512,
+    proto_bias: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN sims + head forward + top-k fusion as ONE device program.
 
@@ -107,7 +112,8 @@ def fuse_topk_from_emb(
     sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
                                     has_head, pallas_min_classes)
     return fuse_topk(sims, logits, proto_valid, active,
-                     proto_weight, head_weight, k, has_head)
+                     proto_weight, head_weight, k, has_head,
+                     proto_bias=proto_bias)
 
 
 @functools.partial(
@@ -124,13 +130,14 @@ def fuse_full_from_emb(
     k: int,
     has_head: bool,
     pallas_min_classes: int = 512,
+    proto_bias: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN sims + head forward + full-class fusion as ONE device program
     (the ``_predict_regular`` semantics — per-label history weights)."""
     sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
                                     has_head, pallas_min_classes)
     return fuse_full(sims, logits, proto_valid, active, proto_w, head_w,
-                     k, has_head)
+                     k, has_head, proto_bias=proto_bias)
 
 
 @functools.partial(jax.jit, static_argnames=("has_head", "pallas_min_classes"))
@@ -144,6 +151,7 @@ def fuse_dist_from_emb(
     head_w: jax.Array,        # [C]
     has_head: bool,
     pallas_min_classes: int = 512,
+    proto_bias: jax.Array = None,
 ) -> jax.Array:
     """Full fused probability distribution ``[B, C]`` as one device program.
 
@@ -155,7 +163,7 @@ def fuse_dist_from_emb(
     sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
                                     has_head, pallas_min_classes)
     combined, scorable = _combined_dist(sims, logits, proto_valid, active,
-                                        proto_w, head_w, has_head)
+                                        proto_w, head_w, has_head, proto_bias)
     return jnp.where(scorable[None, :], combined, 0.0)
 
 
@@ -169,11 +177,13 @@ def fuse_topk(
     head_weight: float,
     k: int,
     has_head: bool,
+    proto_bias: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k-restricted fusion with fixed scalar weights → (scores, ids)."""
     B, C = sims.shape
     kk = min(k, C)
-    topk_scores, topk_idx = knn.topk_scores(sims, proto_valid, kk)   # [B, kk]
+    topk_scores, topk_idx = knn.topk_scores(sims, proto_valid, kk,
+                                            bias=proto_bias)         # [B, kk]
     # scatter the top-k softmax scores back into a [B, C] vector
     proto_vec = jnp.zeros((B, C))
     rows = jnp.arange(B)[:, None]

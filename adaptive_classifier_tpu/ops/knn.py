@@ -146,11 +146,16 @@ def topk_scores(
     sims: jax.Array,      # [B, C] masked similarities (0 = invalid)
     valid: jax.Array,     # [C] bool
     k: int,
+    bias: Optional[jax.Array] = None,   # [C] per-class calibration logit
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k neighbors + softmax over the selected k.
 
     Returns ``(scores [B,k], idx [B,k])``; slots beyond the number of valid
     prototypes get idx −1 and score 0 (FAISS pads with −1 the same way).
+
+    ``bias`` is the post-incremental prototype recalibration (zero = exact
+    reference semantics): neighbor *selection* stays pure-distance (FAISS
+    semantics), the bias shifts only the softmax logits of the selected k.
     """
     n_valid = jnp.sum(valid.astype(jnp.int32))
     # rank by similarity (= ascending distance); invalid are 0 and lose unless
@@ -158,6 +163,8 @@ def topk_scores(
     # (-1e9, not -inf) keep the softmax NaN-free when nothing is valid.
     neg = jnp.where(valid[None, :], sims, -1e9)
     vals, idx = jax.lax.top_k(neg, k)                     # [B, k]
+    if bias is not None:
+        vals = vals + bias[jnp.clip(idx, 0)]
     kk = jnp.arange(k)[None, :]
     in_range = kk < n_valid
     logits = jnp.where(in_range, vals, -1e9)
@@ -170,6 +177,7 @@ def topk_scores(
 def full_scores(
     sims: jax.Array,      # [B, C]
     valid: jax.Array,     # [C]
+    bias: Optional[jax.Array] = None,   # [C] per-class calibration logit
 ) -> jax.Array:
     """Softmax of similarities over all valid prototypes — [B, C].
 
@@ -178,7 +186,14 @@ def full_scores(
     prototypes at all (e.g. after ``clear_memory``) every score is 0 — the
     reference returns an empty list there (memory.py:106-107) and prediction
     falls through to the head alone.
+
+    ``bias`` (default zero = exact reference semantics) is the per-class
+    recalibration fitted after incremental class addition — it counters the
+    softmax-renormalization mass shift that drops old-class accuracy when new
+    prototypes appear (reference issue #53 regime).
     """
     logits = jnp.where(valid[None, :], sims, -1e9)
+    if bias is not None:
+        logits = jnp.where(valid[None, :], logits + bias[None, :], logits)
     scores = jax.nn.softmax(logits, axis=-1)
     return jnp.where(valid[None, :], scores, 0.0)

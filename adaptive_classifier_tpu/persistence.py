@@ -67,6 +67,12 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
         sd = head_lib.to_torch_state_dict(clf.head_params, max(len(clf.label_to_id), 1))
         for name, tensor in sd.items():
             tensor_dict[f"adaptive_head_{name}"] = tensor
+    # post-incremental prototype recalibration (classifier._proto_bias).
+    # Extra tensor key — the reference loader only reads prototype_*/
+    # adaptive_head_* keys, so its checkpoints stay loadable both ways.
+    if getattr(clf, "_proto_bias", None) is not None:
+        tensor_dict["proto_calibration_bias"] = np.ascontiguousarray(
+            np.asarray(clf._proto_bias, np.float32))
 
     (save_directory / "config.json").write_text(
         json.dumps(config_dict, indent=2, sort_keys=True), encoding="utf-8"
@@ -265,6 +271,11 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         params, _ = head_lib.from_torch_state_dict(head_sd, clf._class_capacity)
         clf.head_params = params
         clf._ensure_head_capacity()
+
+    # restore prototype recalibration bias (ours; absent in reference saves)
+    if "proto_calibration_bias" in tensors:
+        clf._proto_bias = np.asarray(tensors["proto_calibration_bias"],
+                                     np.float32)
 
     # back-compat training-history estimate (classifier.py:908-913)
     if not clf.training_history:

@@ -78,7 +78,8 @@ def apply_mlm_masking(
 def mlm_logits(params: Dict[str, Any], mlm: MLMParams, ids, attention_mask,
                cfg: EncoderConfig, compute_dtype=jnp.bfloat16) -> jax.Array:
     """[B, S, V] float32 — forward + transform + tied decoder."""
-    hidden = encoder_forward(params, ids, attention_mask, cfg, compute_dtype)
+    hidden = encoder_forward(params, ids, attention_mask, cfg, compute_dtype,
+                             remat=True)
     h = hidden.astype(jnp.float32) @ mlm.dense_w + mlm.dense_b
     h = jax.nn.gelu(h, approximate=False)
     mean = jnp.mean(h, axis=-1, keepdims=True)
@@ -118,7 +119,8 @@ def mlm_loss_sparse(params, mlm, ids, attention_mask, key, cfg,
     picked_sel = jnp.take_along_axis(sel, pos, axis=1)      # [B, n_pred]
     picked_tgt = jnp.take_along_axis(targets, pos, axis=1)
 
-    hidden = encoder_forward(params, masked, attention_mask, cfg, compute_dtype)
+    hidden = encoder_forward(params, masked, attention_mask, cfg,
+                             compute_dtype, remat=True)
     h = jnp.take_along_axis(
         hidden.astype(jnp.float32), pos[..., None], axis=1)  # [B, n_pred, D]
     h = h @ mlm.dense_w + mlm.dense_b
@@ -224,7 +226,7 @@ def train_chunk(params, mlm, opt, ids_all, attn_all, key, cfg,
 # ---------------------------------------------------------------------------
 
 def _mean_pool_embed(params, ids, attn, cfg, compute_dtype=jnp.bfloat16):
-    h = encoder_forward(params, ids, attn, cfg, compute_dtype)
+    h = encoder_forward(params, ids, attn, cfg, compute_dtype, remat=True)
     m = attn[:, :, None].astype(h.dtype)
     e = jnp.sum(h * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
     e = e.astype(jnp.float32)

@@ -27,7 +27,7 @@ DataLoader exactly.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -212,3 +212,80 @@ def fit_head(
     )
     final = jax.lax.while_loop(cond, epoch_body, init)
     return TrainResult(params=final[0], final_loss=final[9], epochs_run=final[2])
+
+
+# ---------------------------------------------------------------------------
+# post-incremental prototype recalibration
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("has_head", "steps", "lr", "l2"))
+def fit_proto_bias(
+    sims: jax.Array,         # [N, C] masked exp(−d²) similarities
+    logits: jax.Array,       # [N, C] raw head logits (ignored if !has_head)
+    labels: jax.Array,       # [N] int32 class ids
+    vmask: jax.Array,        # [N] bool — real rows
+    proto_valid: jax.Array,  # [C] bool
+    active: jax.Array,       # [C] bool
+    proto_w: jax.Array,      # [C] per-label fusion weights
+    head_w: jax.Array,       # [C]
+    has_head: bool,
+    steps: int = 300,
+    lr: float = 0.05,
+    l2: float = 1e-3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fit a per-class prototype-softmax bias on the stored embeddings.
+
+    The fix for the reference's issue-#53 regime (new-class addition drops
+    old-class accuracy ≥10%, tests/test_new_class_accuracy_preservation.py:
+    188-198): adding prototypes renormalizes the prototype softmax and the
+    freshly (over)trained head is biased toward the new classes, so
+    borderline old-class queries flip.  EWC cannot fix it — the failure is
+    prototype-side (docs/architecture.md deviation #6).  Here we minimize
+    the class-balanced CE of the FUSED distribution (exact
+    ``_predict_regular`` semantics) over the replay store w.r.t. a per-class
+    additive logit bias — C scalars, so it cannot overfit, and zero bias is
+    exact reference behavior.
+
+    Returns ``(bias [C], final_loss)``; the whole fit is ONE XLA program
+    (lax.scan over Adam steps on precomputed sims/logits).
+    """
+    N, C = sims.shape
+    counts = jnp.zeros((C,)).at[labels].add(jnp.where(vmask, 1.0, 0.0))
+    w = jnp.where(vmask, 1.0 / jnp.maximum(counts[labels], 1.0), 0.0)
+    w = w / jnp.maximum(jnp.sum(w), 1e-9)
+
+    base_logits = jnp.where(proto_valid[None, :], sims, -1e9)
+    if has_head:
+        hmask = jnp.where(active[None, :], logits, -1e9)
+        head_probs = jax.nn.softmax(hmask, axis=-1)
+        head_probs = jnp.where(active[None, :], head_probs, 0.0)
+    else:
+        head_probs = jnp.zeros_like(sims)
+
+    safe_labels = jnp.clip(labels, 0, C - 1)
+
+    def loss_fn(b):
+        pl_ = jnp.where(proto_valid[None, :],
+                        base_logits + b[None, :], base_logits)
+        proto_scores = jax.nn.softmax(pl_, axis=-1)
+        proto_scores = jnp.where(proto_valid[None, :], proto_scores, 0.0)
+        combined = proto_scores * proto_w[None, :]
+        if has_head:
+            combined = combined + head_probs * head_w[None, :]
+        total = jnp.sum(combined, axis=-1, keepdims=True)
+        p = combined / jnp.maximum(total, 1e-12)
+        pc = jnp.take_along_axis(p, safe_labels[:, None], axis=1)[:, 0]
+        ce = -jnp.log(jnp.maximum(pc, 1e-12))
+        return jnp.sum(w * ce) + l2 * jnp.sum(b * b)
+
+    def body(carry, _):
+        b, opt = carry
+        loss, g = jax.value_and_grad(loss_fn)(b)
+        b, opt = adamw_update(b, g, opt, lr, weight_decay=0.0)
+        return (b, opt), loss
+
+    b0 = jnp.zeros((C,))
+    (b, _), losses = jax.lax.scan(body, (b0, adamw_init(b0)), None,
+                                  length=steps)
+    return jnp.where(proto_valid, b, 0.0), losses[-1]

@@ -35,16 +35,20 @@ SPECIALS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
 
 _WORDISH = re.compile(r"[A-Za-z][a-z]+")
 _CODE_HINTS = re.compile(r"[{}<>=_`|\\]|::|def |import |self\.|https?://")
+_HTML_TAG = re.compile(r"<[^>]+>")
+_PY_COMMENT = re.compile(r"#\s?(.*)")
+_C_COMMENT = re.compile(r"//\s?(.*)")
+_ALPHA_RUN = re.compile(r"[A-Za-z]{2,}")
 
 
-def _prose_lines(text: str):
+def _prose_lines(text: str, min_len: int = 25, min_words: int = 4):
     """Keep natural-language lines, drop code/tables/markup."""
     for raw in text.splitlines():
         line = raw.strip()
-        if len(line) < 30 or len(line) > 600:
+        if len(line) < min_len or len(line) > 600:
             continue
         words = _WORDISH.findall(line)
-        if len(words) < 5:
+        if len(words) < min_words:
             continue
         # prose = mostly lowercase words, few code-ish characters
         if len(_CODE_HINTS.findall(line)) > 2:
@@ -55,9 +59,9 @@ def _prose_lines(text: str):
         yield line
 
 
-def _docstrings(py_path: str):
+def _docstring_lines(text: str):
     try:
-        tree = ast.parse(Path(py_path).read_text(encoding="utf-8", errors="ignore"))
+        tree = ast.parse(text)
     except Exception:
         return
     for node in ast.walk(tree):
@@ -67,7 +71,40 @@ def _docstrings(py_path: str):
                 yield from _prose_lines(ds)
 
 
-def build_corpus(max_mb: float = 60.0, verbose: bool = True) -> list[str]:
+def _comment_lines(text: str, pattern):
+    """English prose living in source comments (# or //)."""
+    for m in pattern.finditer(text):
+        yield from _prose_lines(m.group(1), min_len=25, min_words=4)
+
+
+def _code_lines(text: str):
+    """Raw code lines as a secondary MLM stream (identifiers + structure).
+
+    Kept loose on purpose: these are NOT prose, they dilute the heavy
+    re-epoching of the small prose corpus with real in-distribution text."""
+    for raw in text.splitlines():
+        line = raw.strip()
+        if len(line) < 12 or len(line) > 200:
+            continue
+        if len(_ALPHA_RUN.findall(line)) < 2:
+            continue
+        yield line
+
+
+def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
+                 verbose: bool = True) -> list[str]:
+    """Harvest machine-local English.
+
+    Streams (all exact-line-deduped, in priority order):
+      1. doc prose: site-packages / dist-packages / /usr/share/doc
+         *.md/*.rst/*.txt, *.html (tag-stripped), *.gz changelogs
+      2. python docstrings + ``#`` comments (one read per file)
+      3. C/C++ header and JS ``//`` comments
+      4. (optional, ``code_mb``) raw python code lines — secondary stream
+    """
+    import gzip
+    import html as html_mod
+
     roots = [p for p in (
         "/opt/venv/lib/python3.12/site-packages",
         "/usr/lib/python3/dist-packages",
@@ -90,20 +127,80 @@ def build_corpus(max_mb: float = 60.0, verbose: bool = True) -> list[str]:
                 return False
         return True
 
+    def read(f):
+        return Path(f).read_text(encoding="utf-8", errors="ignore")
+
+    def stage(name):
+        if verbose:
+            print(f"[corpus] {name}: {len(lines)} lines, "
+                  f"{(max_mb * 1e6 - budget) / 1e6:.1f} MB", flush=True)
+
     for root in roots:
         for pat in ("**/*.md", "**/*.rst", "**/*.txt"):
             for f in glob.iglob(f"{root}/{pat}", recursive=True):
                 try:
-                    if not add(_prose_lines(Path(f).read_text(encoding="utf-8", errors="ignore"))):
+                    if not add(_prose_lines(read(f))):
                         return lines
                 except Exception:
                     continue
-    if verbose:
-        print(f"prose files done: {len(lines)} lines, budget left {budget/1e6:.1f} MB")
-    for root in roots[:2]:
-        for f in glob.iglob(f"{root}/**/*.py", recursive=True):
-            if not add(_docstrings(f)):
+    stage("doc files")
+
+    for root in roots:
+        for f in glob.iglob(f"{root}/**/*.html", recursive=True):
+            try:
+                txt = html_mod.unescape(_HTML_TAG.sub(" ", read(f)))
+                if not add(_prose_lines(txt)):
+                    return lines
+            except Exception:
+                continue
+    for f in glob.iglob("/usr/share/doc/**/*.gz", recursive=True):
+        try:
+            txt = gzip.decompress(Path(f).read_bytes()).decode("utf-8", "ignore")
+            if not add(_prose_lines(txt)):
                 return lines
+        except Exception:
+            continue
+    stage("html+changelogs")
+
+    py_files = [f for root in roots[:2]
+                for f in glob.iglob(f"{root}/**/*.py", recursive=True)]
+    code_budget = code_mb * 1e6
+    code: list[str] = []
+    for f in py_files:
+        try:
+            txt = read(f)
+        except Exception:
+            continue
+        if not add(_docstring_lines(txt)):
+            return lines
+        if not add(_comment_lines(txt, _PY_COMMENT)):
+            return lines
+        if code_budget > 0:
+            for line in _code_lines(txt):
+                key = hash(line)
+                if key in seen or code_budget <= 0:
+                    continue
+                seen.add(key)
+                code.append(line)
+                code_budget -= len(line)
+    stage("py docstrings+comments")
+
+    for root in roots[:1]:
+        for pat in ("**/*.h", "**/*.hpp", "**/*.c", "**/*.cc", "**/*.cpp",
+                    "**/*.js"):
+            for f in glob.iglob(f"{root}/{pat}", recursive=True):
+                try:
+                    if not add(_comment_lines(read(f), _C_COMMENT)):
+                        return lines
+                except Exception:
+                    continue
+    stage("c/js comments")
+
+    if code:
+        lines.extend(code)
+        if verbose:
+            print(f"[corpus] +code stream: {len(code)} lines, "
+                  f"{(code_mb * 1e6 - code_budget) / 1e6:.1f} MB", flush=True)
     return lines
 
 
@@ -200,6 +297,8 @@ def main():
     ap.add_argument("--intermediate", type=int, default=512)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--corpus-mb", type=float, default=60.0)
+    ap.add_argument("--code-mb", type=float, default=0.0,
+                    help="secondary raw-code-line stream budget (MB)")
     ap.add_argument("--corpus-cache", default="/tmp/ac_corpus.npz")
     ap.add_argument("--checkpoint-every", type=int, default=5000)
     ap.add_argument("--vocab-trainer", default="rust",
@@ -229,7 +328,7 @@ def main():
         print(f"corpus cache: {packed.shape} rows, vocab {len(vocab)}")
     else:
         print("building corpus…")
-        lines = build_corpus(args.corpus_mb)
+        lines = build_corpus(args.corpus_mb, code_mb=args.code_mb)
         print(f"corpus: {len(lines)} lines, {sum(map(len, lines))/1e6:.1f} MB")
         vocab = train_vocab(lines, args.vocab_size, trainer=args.vocab_trainer)
         print(f"vocab: {len(vocab)} tokens")
