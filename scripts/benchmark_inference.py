@@ -72,13 +72,20 @@ def run(model_name: str, batch_sizes, iters: int, seq_len: int):
     from adaptive_classifier_tpu.models.tokenizer import WordPieceTokenizer
 
     tok = WordPieceTokenizer.hermetic()
-    texts = ["the quick brown fox jumps over the lazy dog again and again"] * 1024
-    t0 = time.perf_counter()
-    tok(texts, max_length=128)
-    dt = time.perf_counter() - t0
-    results["tokenizer"] = {"texts_per_sec": round(1024 / dt, 1)}
-    print(f"tokenizer: {1024/dt:.0f} texts/s "
-          f"({'native' if tok._get_native() else 'python'} path)")
+    rows = {
+        "ascii": "the quick brown fox jumps over the lazy dog again and again",
+        "unicode": "café déjà-vu naïve façade Zürich coöperate straße søster",
+    }
+    results["tokenizer"] = {}
+    for name, row in rows.items():
+        texts = [row] * 1024
+        tok(texts[:8], max_length=128)  # warm native build/handle
+        t0 = time.perf_counter()
+        tok(texts, max_length=128)
+        dt = time.perf_counter() - t0
+        results["tokenizer"][f"{name}_texts_per_sec"] = round(1024 / dt, 1)
+        print(f"tokenizer[{name}]: {1024/dt:.0f} texts/s "
+              f"({'native' if tok._get_native() else 'python'} path)")
     return results
 
 

@@ -257,7 +257,7 @@ def pack_examples(lines: list[str], vocab: list[str], seq: int) -> np.ndarray:
     cur = [wp.cls_id]
     t0 = time.time()
     for i, line in enumerate(lines):
-        if native is not None and line.isascii():
+        if native is not None:
             ids = native.encode(line, 10_000)[1:-1].tolist()
         else:
             ids = wp.encode(line, max_length=10_000)[1:-1]

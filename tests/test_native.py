@@ -156,3 +156,74 @@ class TestNativeTokenizerFuzz:
             nat.encode("hello", 1)
         with pytest.raises(ValueError):
             nat.encode_batch(["hello"], 0)
+
+
+class TestNativeTokenizerUnicode:
+    """The native tokenizer is exact for ALL UTF-8 text (round 2 it was
+    ASCII-only and any non-ASCII char dropped the whole batch to Python —
+    a silent order-of-magnitude throughput cliff for real-world traffic)."""
+
+    CASES = [
+        "Café déjà-vu — naïve façade; Zürich coöperate",
+        "ΑΣ ΟΔΥΣΣΕΥΣ σοφός",                 # Greek incl. Final_Sigma rule
+        "Привет мир, это тест кириллицы",
+        "日本語のテスト中文测试한국어",          # CJK split + Hangul NFD
+        "emoji 😀 test 🎉 done",
+        "ligature ﬁle straße İstanbul",
+        "zero\x00width​space\xa0nbsp",   # delete/fold classes
+        "ｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ",
+    ]
+
+    def _pair(self):
+        tok = WordPieceTokenizer.hermetic(4096)
+        nat = native.NativeWordPiece(tok.vocab, tok.do_lower_case)
+        return tok, nat
+
+    def test_curated_unicode_parity(self):
+        tok, nat = self._pair()
+        for s in self.CASES:
+            assert nat.encode(s, 128).tolist() == tok.encode(s, max_length=128), s
+
+    def test_fuzz_unicode_parity(self):
+        """Property-based: native == Python over mixed scripts (Latin-ext,
+        Greek, Cyrillic, CJK, Hangul syllables, symbols, format chars)."""
+        from hypothesis import given, settings, strategies as st
+
+        tok, nat = self._pair()
+        alphabet = st.one_of(
+            st.characters(min_codepoint=32, max_codepoint=126),
+            st.characters(min_codepoint=0xC0, max_codepoint=0x17F),
+            st.characters(min_codepoint=0x370, max_codepoint=0x3FF),
+            st.characters(min_codepoint=0x400, max_codepoint=0x45F),
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4EFF),
+            st.characters(min_codepoint=0xAC00, max_codepoint=0xACFF),
+            st.sampled_from("😀🎉ßﬁİΣς​\xa0　"),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=60))
+        def check(text):
+            assert nat.encode(text, 96).tolist() == tok.encode(text, max_length=96)
+
+        check()
+
+    def test_mixed_batch_stays_native(self):
+        """A batch mixing ASCII and non-ASCII rows must produce the same
+        matrix as per-row Python encoding (the __call__ fast path no longer
+        falls back)."""
+        tok, nat = self._pair()
+        texts = ["plain ascii row", "café déjà vu", "日本語テスト", "ΑΣ σοφός"]
+        ids, mask = tok(texts, max_length=64)
+        for i, t in enumerate(texts):
+            ref = tok.encode(t, max_length=64)
+            assert ids[i, : len(ref)].tolist() == ref
+            assert mask[i, : len(ref)].all() and not mask[i, len(ref):].any()
+
+    def test_batch_thread_pool_parity(self):
+        """Large batches route through the native thread pool — output must
+        be identical to single encode calls."""
+        tok, nat = self._pair()
+        texts = [f"pooled row {i} café {i} 日本 {i}" for i in range(256)]
+        mat, lens = nat.encode_batch(texts, 48)
+        for i, t in enumerate(texts):
+            assert mat[i, : lens[i]].tolist() == nat.encode(t, 48).tolist()
