@@ -17,10 +17,18 @@ from pathlib import Path
 # the cache makes repeat script runs start in seconds (same setup bench.py
 # uses).  Must be configured before the first jax computation.
 try:
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # AC_FORCE_CPU=1: run the script on host CPU even when the TPU plugin is
+    # present (the plugin overrides the JAX_PLATFORMS env var, so this must
+    # be an in-process config update).  Lets CPU-safe script work proceed
+    # while a long TPU job (e.g. pretraining) owns the single tunneled chip.
+    if os.environ.get("AC_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
 except Exception:
     pass
 

@@ -113,6 +113,14 @@ def main():
             "regular_clean": 0.80, "regular_adv": 0.60,
             "strategic_clean": 0.8222, "strategic_adv": 0.8222,
             "strategic_robustness_drop": 0.0,
+            "gaming_protocol_note": (
+                "each ours row also carries 'gaming_protocol': the "
+                "reference's OWN embedding-space robustness evaluator "
+                "(StrategicEvaluator.evaluate_robustness, reference "
+                "strategic.py:284-358; gaming levels 0/0.5/1.0, cost model "
+                "matched to strategic training). Signature to match "
+                "(README.md:60): regular robustness_score materially >0 "
+                "(reference: 0.20), strategic robustness_score ~0."),
         },
     }
 

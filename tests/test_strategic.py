@@ -240,3 +240,40 @@ def test_periodic_strategic_training_trigger():
     clf._perform_strategic_training = lambda: calls.append(1) or original()
     clf.add_examples(["a:1", "b:1", "a:2", "b:2"], ["a", "b", "a", "b"])
     assert calls, "strategic training did not trigger at frequency=1"
+
+
+@pytest.mark.slow
+def test_gaming_protocol_signature(synth_classifier_factory):
+    """The reference's OWN robustness protocol (evaluate_robustness, gaming
+    levels 0/1; reference strategic.py:284-358) with the cost model matched
+    to strategic training: strategic training must be at least as robust as
+    the regular head, and end ~fully robust (the README.md:60 signature —
+    regular −20% → strategic 0%)."""
+    import jax.numpy as jnp
+
+    coeffs = [0.15] * 128
+    train_texts = [f"cls{i}:{j}" for i in range(4) for j in range(10)]
+    train_labels = [f"cls{i}" for i in range(4) for _ in range(10)]
+
+    regular = synth_classifier_factory()
+    regular.add_examples(train_texts, train_labels)
+
+    strategic = synth_classifier_factory(
+        enable_strategic_mode=True, cost_function_type="linear",
+        cost_coefficients=coeffs, strategic_training_frequency=1)
+    for s in range(0, len(train_texts), 10):
+        strategic.add_examples(train_texts[s:s+10], train_labels[s:s+10])
+
+    test_texts = [f"cls{i}:q{j}" for i in range(4) for j in range(5)]
+    test_labels = [f"cls{i}" for i in range(4) for _ in range(5)]
+    y = jnp.asarray([strategic.label_to_id[l] for l in test_labels])
+    emb = jnp.asarray(regular._get_embeddings(test_texts))
+
+    ev = strategic.strategic_evaluator
+    reg = ev.evaluate_robustness(regular._masked_logits_fn(), emb, y,
+                                 gaming_levels=[0.0, 1.0])
+    st = ev.evaluate_robustness(strategic._masked_logits_fn(), emb, y,
+                                gaming_levels=[0.0, 1.0])
+    assert st["accuracy_gaming_0.0"] >= 0.9      # clean accuracy intact
+    assert st["robustness_score"] <= reg["robustness_score"] + 1e-9
+    assert st["robustness_score"] <= 0.10        # ~fully robust under gaming
