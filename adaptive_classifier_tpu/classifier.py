@@ -49,6 +49,13 @@ class AdaptiveClassifier:
     ``use_onnx`` is accepted for API compatibility and ignored: the jitted
     XLA forward *is* the optimized inference path (the reference uses ONNX
     only to accelerate CPU inference, classifier.py:114-130).
+
+    ``trust_remote_code`` is likewise API-parity-only: the reference passes
+    it to transformers to allow a checkpoint to EXECUTE bundled Python.
+    This framework's encoders are pure-JAX reimplementations of fixed
+    architectures (bert/distilbert/roberta/modernbert) — checkpoint code is
+    never executed, so the flag has nothing to gate; unsupported custom
+    architectures fail loudly at load instead.
     """
 
     def __init__(
@@ -166,6 +173,8 @@ class AdaptiveClassifier:
             lambda name, **kw: contextlib.nullcontext()
         )
         chunk = max(self.config.embed_chunk_size, 64)
+        if getattr(self, "_chunk_override", None):
+            chunk = max(self._chunk_override, 1)
         parts = [texts[s : s + chunk] for s in range(0, len(texts), chunk)]
         if len(parts) == 1:
             with stage("tokenize"):
@@ -514,12 +523,17 @@ class AdaptiveClassifier:
         return self._device_predict_rows(texts, fuse_dev, kk, k)
 
     def predict_batch(
-        self, texts: List[str], k: int = 5, batch_size: int = 32
+        self, texts: List[str], k: int = 5, batch_size: Optional[int] = None
     ) -> List[List[Tuple[str, float]]]:
         """Batched prediction (classifier.py:1308-1388): the reference batches
         only the encoder and loops fusion per-embedding on host with fixed
         0.7/0.3 weights; here the entire batch fuses in one device call while
-        preserving the fixed-weight, top-k-restricted scoring semantics."""
+        preserving the fixed-weight, top-k-restricted scoring semantics.
+
+        ``batch_size`` caps the per-dispatch device chunk (the reference's
+        encoder micro-batch, classifier.py:1326) — a device-memory knob.
+        Default ``None`` uses ``config.embed_chunk_size``, which is faster
+        than the reference's 32 (fewer dispatches on a tunneled TPU)."""
         if not texts:
             raise ValueError("Empty input batch")
         n_classes = len(self.label_to_id)
@@ -542,7 +556,11 @@ class AdaptiveClassifier:
                 proto_bias=proto_bias,
             )
 
-        return self._device_predict_rows(texts, fuse_dev, kk, k)
+        self._chunk_override = batch_size
+        try:
+            return self._device_predict_rows(texts, fuse_dev, kk, k)
+        finally:
+            self._chunk_override = None
 
     def predict_proba(
         self, texts, calibrated: bool = False,

@@ -195,3 +195,16 @@ def test_pipelined_embedding_matches_sequential(tiny_classifier_factory):
     seq = np.concatenate([clf._embed_uncached(texts[s:s + 64]) for s in (0, 64, 128)])
     np.testing.assert_allclose(piped, seq, atol=1e-6)
     assert piped.shape == (150, clf.embedding_dim)
+
+
+def test_predict_batch_batch_size_honored(trained):
+    """batch_size caps the per-dispatch device chunk (was accepted-and-
+    ignored); results must be identical to the default chunking."""
+    queries = [f"pos:{i}" for i in range(5)] + [f"neg:{i}" for i in range(4)]
+    default = trained.predict_batch(queries, k=2)
+    small = trained.predict_batch(queries, k=2, batch_size=2)
+    assert trained._chunk_override is None  # cleaned up after the call
+    for a, b in zip(default, small):
+        assert [l for l, _ in a] == [l for l, _ in b]
+        for (_, sa), (_, sb) in zip(a, b):
+            assert abs(sa - sb) < 1e-5
