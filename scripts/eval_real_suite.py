@@ -39,7 +39,8 @@ def run_json(script: str, args: list[str], out_file: Path) -> dict:
     return json.loads(out_file.read_text())
 
 
-def eval_new_class_preservation(model: str, finetune_steps: int = 0) -> dict:
+def eval_new_class_preservation(model: str, finetune_steps: int = 0,
+                                seed: int = 42) -> dict:
     """Issue-53 regression on real text: train 10 intents, add 3 new ones,
     old-class accuracy must not collapse.  With ``finetune_steps`` the
     encoder is adapted to the base classes first — the realistic deployment
@@ -48,7 +49,7 @@ def eval_new_class_preservation(model: str, finetune_steps: int = 0) -> dict:
     from adaptive_classifier_tpu import AdaptiveClassifier
 
     blob = json.loads((REPO / "data" / "intents.json").read_text())
-    clf = AdaptiveClassifier(model)
+    clf = AdaptiveClassifier(model, seed=seed)
     texts = [t for lbl, rows in blob["train"].items() for t in rows]
     labels = [lbl for lbl, rows in blob["train"].items() for t in rows]
     clf.add_examples(texts, labels)
@@ -80,11 +81,51 @@ def eval_new_class_preservation(model: str, finetune_steps: int = 0) -> dict:
     }
 
 
+def _numeric_leaves(obj, prefix=""):
+    """Flatten nested dicts to {dotted.path: number} for spread stats."""
+    out = {}
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            out.update(_numeric_leaves(v, f"{prefix}{k}."))
+    elif isinstance(obj, bool):
+        pass
+    elif isinstance(obj, (int, float)):
+        out[prefix.rstrip(".")] = float(obj)
+    return out
+
+
+def seed_spread(reports: list[dict]) -> dict:
+    """mean ± spread (max−min) per numeric metric across per-seed reports."""
+    if len(reports) < 2:
+        return {}
+    leaves = [_numeric_leaves(r) for r in reports]
+    keys = set(leaves[0])
+    for l in leaves[1:]:
+        keys &= set(l)
+    keys -= {"seed"}
+    out = {}
+    for k in sorted(keys):
+        vals = [l[k] for l in leaves]
+        if min(vals) == max(vals) and k.startswith("n_"):
+            continue    # constant sample-size fields add noise to the report
+        out[k] = {"mean": round(sum(vals) / len(vals), 4),
+                  "spread": round(max(vals) - min(vals), 4),
+                  "values": [round(v, 4) for v in vals]}
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--out", default="EVAL_r02.json")
+    ap.add_argument("--seeds", default="42,43,44",
+                    help="comma-separated classifier seeds; frozen-encoder "
+                         "rows run per-seed and report mean±spread, the "
+                         "slow finetuned rows run on the first seed only")
     args = ap.parse_args()
+
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    s0 = seeds[0]
 
     model = args.model
     if not Path(model).exists() and (REPO / model).exists():
@@ -92,20 +133,33 @@ def main():
     tmp = REPO / ".eval_tmp"
     tmp.mkdir(exist_ok=True)
 
-    report = {"model": model, "datasets": "frozen real-English sets in data/"}
+    report = {"model": model, "datasets": "frozen real-English sets in data/",
+              "seeds": seeds,
+              "protocol_note": (
+                  "frozen-encoder rows are run once per seed (classifier "
+                  "seed varies head init + training shuffle; data and "
+                  "attack RNGs stay fixed) and carry a seed_spread block "
+                  "with mean/spread(max-min)/values per metric; "
+                  "encoder-finetuned rows are single-seed (first seed)")}
 
-    strategic = run_json("eval_strategic.py", ["--model", model],
-                         tmp / "strategic.json")
+    strategic_by_seed = [
+        run_json("eval_strategic.py",
+                 ["--model", model, "--seed", str(s)],
+                 tmp / f"strategic_s{s}.json")
+        for s in seeds]
+    strategic = strategic_by_seed[0]
     strategic_ft = run_json("eval_strategic.py",
-                            ["--model", model, "--finetune-steps", "150"],
+                            ["--model", model, "--finetune-steps", "150",
+                             "--seed", str(s0)],
                             tmp / "strategic_ft.json")
     strategic_typo = run_json(
         "eval_strategic.py",
         ["--model", model, "--finetune-steps", "150",
-         "--finetune-augment", "typo"],
+         "--finetune-augment", "typo", "--seed", str(s0)],
         tmp / "strategic_typo.json")
     report["strategic"] = {
         "ours": strategic,
+        "ours_seed_spread": seed_spread(strategic_by_seed),
         "ours_finetuned": strategic_ft,
         "ours_finetuned_typo_augment": strategic_typo,
         "reference_baseline": {
@@ -125,7 +179,8 @@ def main():
     }
 
     gaming = run_json("eval_strategic.py",
-                      ["--model", model, "--data", "router-gaming"],
+                      ["--model", model, "--data", "router-gaming",
+                       "--seed", str(s0)],
                       tmp / "strategic_router.json")
     report["strategic_router_gaming"] = {
         "ours": gaming,
@@ -140,10 +195,15 @@ def main():
             "negative result about the mechanism's scope."),
     }
 
-    router = run_json("eval_router.py", ["--model", model, "--adapt"],
-                      tmp / "router.json")
+    router_by_seed = [
+        run_json("eval_router.py",
+                 ["--model", model, "--adapt", "--seed", str(s)],
+                 tmp / f"router_s{s}.json")
+        for s in seeds]
+    router = router_by_seed[0]
     report["router"] = {
         "ours": router,
+        "ours_seed_spread": seed_spread(router_by_seed),
         "reference_baseline": {
             "note": "arena-hard 500 queries (README.md:74-79)",
             "cost_savings_without_pct": 25.6,
@@ -152,15 +212,21 @@ def main():
         },
     }
 
-    halluc = run_json("train_hallucination_detector.py",
-                      ["--model", model, "--out", str(tmp / "halluc_model")],
-                      tmp / "halluc.json")
+    halluc_by_seed = [
+        run_json("train_hallucination_detector.py",
+                 ["--model", model, "--seed", str(s),
+                  "--out", str(tmp / "halluc_model")],
+                 tmp / f"halluc_s{s}.json")
+        for s in seeds]
+    halluc = halluc_by_seed[0]
     halluc_ft = run_json("train_hallucination_detector.py",
                          ["--model", model, "--finetune-steps", "150",
+                          "--seed", str(s0),
                           "--out", str(tmp / "halluc_model_ft")],
                          tmp / "halluc_ft.json")
     report["hallucination"] = {
         "ours": halluc,
+        "ours_seed_spread": seed_spread(halluc_by_seed),
         "ours_finetuned": halluc_ft,
         "reference_baseline": {
             "note": "RAGTruth overall + per-task F1 (README.md:67-70)",
@@ -170,10 +236,13 @@ def main():
         },
     }
 
+    pres_by_seed = [eval_new_class_preservation(model, seed=s) for s in seeds]
     report["new_class_preservation"] = {
-        "ours": eval_new_class_preservation(model),
+        "ours": pres_by_seed[0],
+        "ours_seed_spread": seed_spread(pres_by_seed),
         "ours_finetuned": eval_new_class_preservation(model,
-                                                      finetune_steps=150),
+                                                      finetune_steps=150,
+                                                      seed=s0),
         "reference_baseline": {
             "note": "issue #53 regression threshold "
                     "(tests/test_new_class_accuracy_preservation.py:188-198)",

@@ -105,6 +105,8 @@ def main():
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--adapt", action="store_true",
                     help="also run the adaptation pass (reference w/ adaptation)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="classifier seed (head init + training shuffle)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -124,11 +126,11 @@ def main():
         model = str(REPO / model)   # repo-relative checkpoint path
 
     def fresh():
-        clf = AdaptiveClassifier(model)
+        clf = AdaptiveClassifier(model, seed=args.seed)
         clf.add_examples([d["q"] for d in train], [d["label"] for d in train])
         return clf
 
-    report = {"data": args.data, "model": args.model,
+    report = {"data": args.data, "model": args.model, "seed": args.seed,
               "n_train": len(train), "n_eval": len(eval_rows)}
     report["without_adaptation"] = run_stream(fresh(), eval_rows, cost, adapt=False)
     if args.adapt:

@@ -149,6 +149,10 @@ def main():
     ap.add_argument("--finetune-augment", default=None, choices=[None, "typo"],
                     help="augmentation for fine-tuning views (typo = "
                          "character-swap copies, hardens against typo attacks)")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="classifier seed (head init + training shuffle); "
+                         "the attack/data RNGs stay fixed so multi-seed runs "
+                         "isolate training noise")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -170,14 +174,14 @@ def main():
     model = args.model
     if not Path(model).exists() and (REPO / model).exists():
         model = str(REPO / model)   # repo-relative checkpoint path
-    regular = AdaptiveClassifier(model)
+    regular = AdaptiveClassifier(model, seed=args.seed)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
     if args.finetune_steps:
         regular.finetune_encoder(steps=args.finetune_steps,
                                  augment=args.finetune_augment)
 
     dim = regular.embedding_dim
-    strategic = AdaptiveClassifier(model, config={
+    strategic = AdaptiveClassifier(model, seed=args.seed, config={
         "enable_strategic_mode": True,
         "cost_function_type": "linear",
         "cost_coefficients": make_cost_coefficients(args.cost_strategy, dim),
@@ -237,6 +241,7 @@ def main():
     report = {
         "data": args.data,
         "model": model,
+        "seed": args.seed,
         "n_train": len(train), "n_clean": len(clean), "n_adv": len(adv),
         "cost_strategy": args.cost_strategy,
         "gaming_protocol": gaming,

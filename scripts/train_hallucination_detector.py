@@ -95,6 +95,8 @@ def main():
     ap.add_argument("--finetune-steps", type=int, default=0,
                     help="SupCon encoder fine-tuning steps "
                          "(classifier.finetune_encoder); 0 = frozen encoder")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="classifier seed (head init + training shuffle)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -113,7 +115,7 @@ def main():
     repo = _P(__file__).resolve().parent.parent
     if not _P(model).exists() and (repo / model).exists():
         model = str(repo / model)   # repo-relative checkpoint path
-    clf = AdaptiveClassifier(model)
+    clf = AdaptiveClassifier(model, seed=args.seed)
     clf.add_examples(
         [format_input(d["context"], d["question"], d["answer"]) for d in train],
         [d["label"] for d in train],
@@ -130,7 +132,7 @@ def main():
         outcomes.append((d["label"] == "HALLUCINATED",
                          pred == "HALLUCINATED", d.get("task")))
     report = {
-        "data": args.data, "model": args.model,
+        "data": args.data, "model": args.model, "seed": args.seed,
         **{k: v for k, v in prf([(p, h) for p, h, _ in outcomes]).items()
            if k != "n"},
         "n_train": len(train), "n_eval": len(test),
