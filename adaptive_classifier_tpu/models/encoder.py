@@ -198,12 +198,15 @@ def encoder_forward(
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
     remat: bool = False,
+    attn_impl: Optional[str] = None,
 ) -> jax.Array:
     """Full encoder forward → last_hidden_state ``[B, S, D]`` (float32).
 
-    ``use_flash=True`` routes attention through the Pallas flash-attention
-    kernel (ops/flash_attention.py) — the long-sequence HBM-bandwidth path;
-    the default einsum path lets XLA fuse for short sequences.
+    ``attn_impl`` selects the attention implementation: ``"einsum"`` (XLA
+    fusion, short sequences), ``"oneshot"`` (Pallas whole-head-in-VMEM, the
+    S ≤ 512 kernel), ``"flash"`` (Pallas online-softmax streaming, the long
+    -context path).  ``None`` derives it from the legacy ``use_flash`` flag
+    ("flash" / "einsum").
 
     ``remat=True`` rematerializes each layer in the backward pass
     (``jax.checkpoint`` on the scan body) — trades ~1/3 extra FLOPs for
@@ -211,6 +214,8 @@ def encoder_forward(
     pretrainer (8L/512H at B=256 exceeds v5e HBM without it); inference
     paths never need it.
     """
+    if attn_impl is None:
+        attn_impl = "flash" if use_flash else "einsum"
     if cfg.arch == "modernbert":
         from .modernbert import modernbert_forward
 
@@ -264,10 +269,14 @@ def encoder_forward(
         k = k.reshape(B, S, H, Dh)
         v = v.reshape(B, S, H, Dh)
 
-        if use_flash:
+        if attn_impl == "flash":
             from ..ops.flash_attention import flash_attention
 
             ctx = flash_attention(q, k, v, attention_mask)
+        elif attn_impl == "oneshot":
+            from ..ops.flash_attention import oneshot_attention
+
+            ctx = oneshot_attention(q, k, v, attention_mask)
         else:
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
@@ -308,6 +317,7 @@ def embed_texts_device(
     compute_dtype=jnp.bfloat16,
     use_flash: bool = False,
     pooling: str = "cls",
+    attn_impl: Optional[str] = None,
 ) -> jax.Array:
     """Encoder forward + pool + L2 normalize → ``[B, D]`` float32.
 
@@ -317,7 +327,7 @@ def embed_texts_device(
     state is never trained as a sentence summary.
     """
     hidden = encoder_forward(params, input_ids, attention_mask, cfg, compute_dtype,
-                             use_flash=use_flash)
+                             use_flash=use_flash, attn_impl=attn_impl)
     if pooling == "mean":
         m = attention_mask[:, :, None].astype(hidden.dtype)
         pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
@@ -562,23 +572,25 @@ class Encoder:
             if "qkv_w.int8" not in self.params.get("layers", {}):
                 self.params = jax.jit(quantize_encoder_for_inference)(self.params)
 
-            @jax.jit
-            def _embed_q(params, input_ids, attention_mask):
+            @functools.partial(jax.jit, static_argnames=("attn_impl",))
+            def _embed_q(params, input_ids, attention_mask, attn_impl="einsum"):
                 return embed_texts_device_int8(params, input_ids, attention_mask,
-                                               cfg, cd, pooling=cfg.pooling)
+                                               cfg, cd, pooling=cfg.pooling,
+                                               attn_impl=attn_impl)
 
             self._embed_jit = _embed_q
-            self._embed = lambda p, ids, mask: _embed_q(p, ids, mask)
+            self._embed = lambda p, ids, mask: _embed_q(
+                p, ids, mask, attn_impl=self._attn_impl(ids.shape[1]))
             return
 
-        @functools.partial(jax.jit, static_argnames=("use_flash",))
-        def _embed(params, input_ids, attention_mask, use_flash=False):
+        @functools.partial(jax.jit, static_argnames=("attn_impl",))
+        def _embed(params, input_ids, attention_mask, attn_impl="einsum"):
             return embed_texts_device(params, input_ids, attention_mask, cfg, cd,
-                                      use_flash=use_flash, pooling=cfg.pooling)
+                                      attn_impl=attn_impl, pooling=cfg.pooling)
 
         self._embed_jit = _embed
         self._embed = lambda p, ids, mask: _embed(
-            p, ids, mask, use_flash=self._use_flash(ids.shape[1])
+            p, ids, mask, attn_impl=self._attn_impl(ids.shape[1])
         )
 
     def restore_params(self, params, config: Optional[EncoderConfig] = None,
@@ -598,14 +610,27 @@ class Encoder:
         self._build_embed()
 
     def _use_flash(self, seq_len: int) -> bool:
-        """Flash attention engages on TPU only for genuinely long sequences.
+        return self._attn_impl(seq_len) == "flash"
 
-        Measured on v5e (bert-base, B=64, S=512, bf16): XLA's fused einsum
-        attention 108 ms/batch vs this kernel 154 ms/batch — at ≤512 tokens
-        XLA already overlaps and fuses optimally and the kernel's head-dim
-        padding (64→128 lanes) wastes MXU work.  The kernel is the
-        long-context path (ModernBERT's 8k window), not the default."""
-        return jax.default_backend() == "tpu" and seq_len >= 1024
+    def _attn_impl(self, seq_len: int) -> str:
+        """Attention implementation policy (overridable via AC_ATTN_IMPL).
+
+        - ≥1024 tokens on TPU → "flash" (online-softmax streaming kernel;
+          scores no longer fit VMEM — the ModernBERT 8k-window path).
+        - ≤512 on TPU → "einsum" pending the round-3 A/B vs "oneshot"
+          (docs/architecture.md records the measured matrix; round-2
+          baseline: streaming flash 154 ms vs einsum 108 ms at S=512/B=64
+          bf16 — the one-shot kernel exists to retest this regime without
+          the online-softmax loop overhead).
+        - CPU → "einsum" always (Pallas interpret mode is for tests).
+        """
+        import os
+
+        forced = os.environ.get("AC_ATTN_IMPL")
+        if forced:
+            return forced
+        return ("flash" if jax.default_backend() == "tpu" and seq_len >= 1024
+                else "einsum")
 
     @property
     def hidden_size(self) -> int:

@@ -97,6 +97,7 @@ def encoder_forward_int8(
     cfg: EncoderConfig,
     compute_dtype=jnp.bfloat16,
     use_fused_ffn: Optional[bool] = None,
+    attn_impl: str = "einsum",
 ) -> jax.Array:
     """BERT-family forward with int8 matmuls → last_hidden_state (float32).
 
@@ -161,11 +162,20 @@ def encoder_forward_int8(
         k = qkv[..., D:2 * D].reshape(B, S, H, Dh)
         v = qkv[..., 2 * D:].reshape(B, S, H, Dh)
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits + amask, axis=-1).astype(compute_dtype)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                         preferred_element_type=jnp.float32)
+        if attn_impl == "oneshot":
+            from ..ops.flash_attention import oneshot_attention
+
+            ctx = oneshot_attention(q, k, v, attention_mask)
+        elif attn_impl == "flash":
+            from ..ops.flash_attention import flash_attention
+
+            ctx = flash_attention(q, k, v, attention_mask)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits + amask, axis=-1).astype(compute_dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, S, H * Dh)
         # O-projection stays on XLA's int8 lowering: the fused
         # proj_residual_ln_int8 kernel measured 2.28 ms vs XLA's 1.14 ms at
@@ -200,9 +210,10 @@ def encoder_forward_int8(
 
 def embed_texts_device_int8(qparams, input_ids, attention_mask, cfg,
                             compute_dtype=jnp.bfloat16,
-                            pooling: str = "cls") -> jax.Array:
+                            pooling: str = "cls",
+                            attn_impl: str = "einsum") -> jax.Array:
     hidden = encoder_forward_int8(qparams, input_ids, attention_mask, cfg,
-                                  compute_dtype)
+                                  compute_dtype, attn_impl=attn_impl)
     if pooling == "mean":
         m = attention_mask[:, :, None].astype(hidden.dtype)
         pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)

@@ -103,6 +103,95 @@ def flash_attention_padded(
     )(q, k, v, mask_bias)
 
 
+def _oneshot_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    """Whole-head attention in one VMEM pass — the S ≤ 512 regime.
+
+    At 512 tokens the score matrix for one head is [512, 512] f32 = 1 MB,
+    so the online-softmax recurrence of ``_flash_kernel`` is pure overhead:
+    scores fit in VMEM outright.  One program = one (batch, head): two large
+    MXU matmuls with a plain row softmax between them, nothing written to
+    HBM but the [S, Dh] output.  Replaces the reference's torch SDPA
+    (reference models.py attention path) for the max_length=512 default
+    regime (reference models.py:112)."""
+    q = q_ref[0, 0]                       # [Sp, Dhp]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                             # [Sp, Sp] f32
+    s = s + mask_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / jnp.maximum(l, 1e-30)).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@jax.jit
+def oneshot_attention_padded(
+    q: jax.Array,          # [B, H, Sp, Dhp]
+    k: jax.Array,
+    v: jax.Array,
+    mask_bias: jax.Array,  # [B, 1, Sp] float32 additive
+) -> jax.Array:
+    B, H, S, Dh = q.shape
+    scale = 1.0 / float(np.sqrt(Dh))
+    return pl.pallas_call(
+        functools.partial(_oneshot_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S, Dh), lambda b, h: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * S * Dh,
+            bytes_accessed=2 * B * H * S * Dh * 4,
+            transcendentals=B * H * S * S,
+        ),
+    )(q, k, v, mask_bias)
+
+
+def oneshot_attention(
+    q: jax.Array,          # [B, S, H, Dh] (encoder layout)
+    k: jax.Array,
+    v: jax.Array,
+    attention_mask: jax.Array,  # [B, S] 1/0
+) -> jax.Array:
+    """Pad to (8, 128) tile multiples, run one-shot attention, un-pad."""
+    B, S, H, Dh = q.shape
+    Sp = _round_up(S, 128 if S >= 128 else 8)
+    Dhp = _round_up(Dh, 128)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0), (0, Dhp - Dh)))
+
+    qp = pad(q).transpose(0, 2, 1, 3)   # [B, H, Sp, Dhp]
+    kp = pad(k).transpose(0, 2, 1, 3)
+    vp = pad(v).transpose(0, 2, 1, 3)
+    bias = jnp.where(
+        jnp.pad(attention_mask, ((0, 0), (0, Sp - S))) > 0, 0.0, NEG
+    ).astype(jnp.float32)[:, None, :]
+    # kernel scales by 1/sqrt(padded Dh); pre-scale q to logits/sqrt(true Dh)
+    if Dhp != Dh:
+        qp = qp * jnp.asarray(np.sqrt(Dhp / Dh), qp.dtype)
+    out = oneshot_attention_padded(qp, kp, vp, bias)
+    return out.transpose(0, 2, 1, 3)[:, :S, :, :Dh]
+
+
 def flash_attention(
     q: jax.Array,          # [B, S, H, Dh] (encoder layout)
     k: jax.Array,
