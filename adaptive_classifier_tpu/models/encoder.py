@@ -615,13 +615,18 @@ class Encoder:
     def _attn_impl(self, seq_len: int) -> str:
         """Attention implementation policy (overridable via AC_ATTN_IMPL).
 
-        - ≥1024 tokens on TPU → "flash" (online-softmax streaming kernel;
-          scores no longer fit VMEM — the ModernBERT 8k-window path).
-        - ≤512 on TPU → "einsum" pending the round-3 A/B vs "oneshot"
-          (docs/architecture.md records the measured matrix; round-2
-          baseline: streaming flash 154 ms vs einsum 108 ms at S=512/B=64
-          bf16 — the one-shot kernel exists to retest this regime without
-          the online-softmax loop overhead).
+        Measured on v5e, bert-base dims, B=32, end-to-end embed
+        (scripts/ab_attention.py, round 3; full matrix in
+        docs/architecture.md):
+
+        - ≥1024 tokens on TPU → "flash" (online-softmax streaming; scores
+          no longer fit VMEM — the ModernBERT 8k-window path).
+        - 512–1023 on TPU → "oneshot" (whole-head scores resident in
+          VMEM): S=512 int8 24.6 ms vs einsum 27.8 (−11%), bf16 43.1 vs
+          45.7.  The round-2 streaming kernel lost this regime (49 ms) —
+          the online-softmax loop, not Pallas itself, was the overhead.
+        - ≤256 → "einsum": XLA wins while the whole score tensor is small
+          (S=256 int8: einsum 9.6 ms vs oneshot 12.2).
         - CPU → "einsum" always (Pallas interpret mode is for tests).
         """
         import os
@@ -629,8 +634,11 @@ class Encoder:
         forced = os.environ.get("AC_ATTN_IMPL")
         if forced:
             return forced
-        return ("flash" if jax.default_backend() == "tpu" and seq_len >= 1024
-                else "einsum")
+        if jax.default_backend() != "tpu":
+            return "einsum"
+        if seq_len >= 1024:
+            return "flash"
+        return "oneshot" if seq_len >= 512 else "einsum"
 
     @property
     def hidden_size(self) -> int:

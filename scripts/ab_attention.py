@@ -37,12 +37,19 @@ def time_impl(embed_fn, params, batches, mask, iters):
 
         ctx = pltpu.force_tpu_interpret_mode()
     with ctx:
-        out = embed_fn(params, batches[0], mask)
-        out.block_until_ready()                  # compile
+        # chain a scalar accumulator through every step: on the tunneled
+        # backend, blocking on only the last independent output does NOT
+        # wait for the earlier dispatches (measured: 50× too-fast numbers);
+        # the dependency chain forces every forward into the timed window
+        # (same pattern as ab_fused_qkv.py)
+        acc = jnp.zeros(())
+        acc = acc + jnp.sum(embed_fn(params, batches[0], mask))
+        float(acc)                               # compile + settle
+        acc = jnp.zeros(())
         t0 = time.perf_counter()
         for i in range(iters):
-            out = embed_fn(params, batches[i % len(batches)], mask)
-        out.block_until_ready()
+            acc = acc + jnp.sum(embed_fn(params, batches[i % len(batches)], mask))
+        float(acc)
         return (time.perf_counter() - t0) / iters
 
 
