@@ -39,16 +39,21 @@ PEAK_HBM = 819e9
 
 
 def timed(fn, *args, iters=30):
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    # chain a scalar through every step: on the tunneled backend, blocking
+    # on the last of N independent dispatches does NOT wait for the earlier
+    # ones (measured ~50× under-reads; same fix as ab_attention.py)
+    def total(out):
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "dtype")]
+        return sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) for x in leaves)
+
+    acc = jnp.zeros(()) + total(fn(*args))
+    float(acc)                                   # compile + settle
+    acc = jnp.zeros(())
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+        acc = acc + total(fn(*args))
+    float(acc)
     return (time.perf_counter() - t0) / iters
 
 
