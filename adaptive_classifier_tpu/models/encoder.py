@@ -264,27 +264,36 @@ def encoder_forward(
         qkv = jnp.einsum("bsd,de->bse", x, lp["qkv_w"].astype(compute_dtype),
                          preferred_element_type=jnp.float32)
         qkv = (qkv + lp["qkv_b"].astype(jnp.float32)).astype(compute_dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, Dh)
-        k = k.reshape(B, S, H, Dh)
-        v = v.reshape(B, S, H, Dh)
+        if attn_impl == "fusedqkv":
+            # all-heads Pallas attention on the packed QKV tensor — skips
+            # the [B,S,H,Dh] head split and its layout copies entirely
+            # (ops/attention_qkv.py; round-3 MFU trace finding)
+            from ..ops.attention_qkv import attention_from_qkv
 
-        if attn_impl == "flash":
-            from ..ops.flash_attention import flash_attention
-
-            ctx = flash_attention(q, k, v, attention_mask)
-        elif attn_impl == "oneshot":
-            from ..ops.flash_attention import oneshot_attention
-
-            ctx = oneshot_attention(q, k, v, attention_mask)
+            ctx = attention_from_qkv(qkv, attention_mask, H, Dh)
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) * scale
-            logits = logits + amask
-            probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(B, S, H * Dh).astype(compute_dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(B, S, H, Dh)
+            k = k.reshape(B, S, H, Dh)
+            v = v.reshape(B, S, H, Dh)
+
+            if attn_impl == "flash":
+                from ..ops.flash_attention import flash_attention
+
+                ctx = flash_attention(q, k, v, attention_mask)
+            elif attn_impl == "oneshot":
+                from ..ops.flash_attention import oneshot_attention
+
+                ctx = oneshot_attention(q, k, v, attention_mask)
+            else:
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32) * scale
+                logits = logits + amask
+                probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B, S, H * Dh)
+        ctx = ctx.astype(compute_dtype)
         attn_out = jnp.einsum("bsd,de->bse", ctx, lp["o_w"].astype(compute_dtype),
                               preferred_element_type=jnp.float32) + lp["o_b"].astype(jnp.float32)
         # fused residual-add + LayerNorm: the f32 convert+reduce epilogues
@@ -615,18 +624,19 @@ class Encoder:
     def _attn_impl(self, seq_len: int) -> str:
         """Attention implementation policy (overridable via AC_ATTN_IMPL).
 
-        Measured on v5e, bert-base dims, B=32, end-to-end embed
+        Measured on v5e, bert-base dims, end-to-end embed
         (scripts/ab_attention.py, round 3; full matrix in
         docs/architecture.md):
 
-        - ≥1024 tokens on TPU → "flash" (online-softmax streaming; scores
-          no longer fit VMEM — the ModernBERT 8k-window path).
-        - 512–1023 on TPU → "oneshot" (whole-head scores resident in
-          VMEM): S=512 int8 24.6 ms vs einsum 27.8 (−11%), bf16 43.1 vs
-          45.7.  The round-2 streaming kernel lost this regime (49 ms) —
-          the online-softmax loop, not Pallas itself, was the overhead.
-        - ≤256 → "einsum": XLA wins while the whole score tensor is small
-          (S=256 int8: einsum 9.6 ms vs oneshot 12.2).
+        - <1024 tokens on TPU → "fusedqkv" (ops/attention_qkv.py): all
+          heads computed straight off the packed ``[B,S,3D]`` QKV tensor,
+          no head-split layout copies.  Sweeps EVERY cell of the round-3
+          A/B — B=256/S=64 int8 15.3 ms vs einsum 30.3 (1.99×);
+          B=32/S=512 int8 17.6 vs einsum 30.0 / oneshot 25.6 (the round-3
+          interim winner).  Whole-pair scores stay resident in VMEM, so
+          the ceiling is S≈512 at bert-base dims.
+        - ≥1024 on TPU → "flash" (online-softmax streaming; scores no
+          longer fit VMEM — the ModernBERT 8k-window path).
         - CPU → "einsum" always (Pallas interpret mode is for tests).
         """
         import os
@@ -638,7 +648,10 @@ class Encoder:
             return "einsum"
         if seq_len >= 1024:
             return "flash"
-        return "oneshot" if seq_len >= 512 else "einsum"
+        dh = self.config.hidden_size // self.config.num_heads
+        if dh > 128 or dh % 8 or seq_len % 8:
+            return "einsum"          # outside the fusedqkv kernel envelope
+        return "fusedqkv"
 
     @property
     def hidden_size(self) -> int:

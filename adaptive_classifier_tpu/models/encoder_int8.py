@@ -158,25 +158,37 @@ def encoder_forward_int8(
             ).reshape(B, S, 3 * D).astype(compute_dtype)
         else:
             qkv = _q_matmul(x, w_qkv, s_qkv, b_qkv).astype(compute_dtype)
-        q = qkv[..., :D].reshape(B, S, H, Dh)
-        k = qkv[..., D:2 * D].reshape(B, S, H, Dh)
-        v = qkv[..., 2 * D:].reshape(B, S, H, Dh)
+        if attn_impl == "fusedqkv":
+            # all-heads Pallas attention straight off the packed QKV tensor
+            # (ops/attention_qkv.py): no [B,S,H,Dh] split in HBM, so none
+            # of the ~10.8 ms/forward of layout copies the round-3 trace
+            # attributed to the einsum region (docs/architecture.md MFU
+            # table) ever happens
+            from ..ops.attention_qkv import attention_from_qkv
 
-        if attn_impl == "oneshot":
-            from ..ops.flash_attention import oneshot_attention
-
-            ctx = oneshot_attention(q, k, v, attention_mask)
-        elif attn_impl == "flash":
-            from ..ops.flash_attention import flash_attention
-
-            ctx = flash_attention(q, k, v, attention_mask)
+            ctx = attention_from_qkv(
+                qkv.reshape(B, S, 3 * D), attention_mask, H, Dh)
         else:
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                                preferred_element_type=jnp.float32) * scale
-            probs = jax.nn.softmax(logits + amask, axis=-1).astype(compute_dtype)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
-                             preferred_element_type=jnp.float32)
-        ctx = ctx.reshape(B, S, H * Dh)
+            q = qkv[..., :D].reshape(B, S, H, Dh)
+            k = qkv[..., D:2 * D].reshape(B, S, H, Dh)
+            v = qkv[..., 2 * D:].reshape(B, S, H, Dh)
+
+            if attn_impl == "oneshot":
+                from ..ops.flash_attention import oneshot_attention
+
+                ctx = oneshot_attention(q, k, v, attention_mask)
+            elif attn_impl == "flash":
+                from ..ops.flash_attention import flash_attention
+
+                ctx = flash_attention(q, k, v, attention_mask)
+            else:
+                logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                    preferred_element_type=jnp.float32) * scale
+                probs = jax.nn.softmax(logits + amask,
+                                       axis=-1).astype(compute_dtype)
+                ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                                 preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B, S, H * Dh)
         # O-projection stays on XLA's int8 lowering: the fused
         # proj_residual_ln_int8 kernel measured 2.28 ms vs XLA's 1.14 ms at
         # bert-base dims (M=16384) — one [D, D] matmul + elementwise is

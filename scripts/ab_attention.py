@@ -74,7 +74,7 @@ def main():
                    for _ in range(8)]
         mask = jnp.ones((B, S), jnp.int32)
         for path in ("int8", "bf16"):
-            for impl in ("einsum", "oneshot", "flash"):
+            for impl in ("einsum", "fusedqkv", "oneshot", "flash"):
                 if path == "int8":
                     fn = jax.jit(lambda p, ids, m, impl=impl: embed_texts_device_int8(
                         p, ids, m, cfg, jnp.bfloat16, attn_impl=impl))

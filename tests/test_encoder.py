@@ -86,6 +86,33 @@ class TestEncoder:
         padded = np.asarray(e.embed(["the target text", "x " * 50]))
         np.testing.assert_allclose(solo[0], padded[0], atol=2e-2)
 
+    def test_fusedqkv_attention_parity(self):
+        """bf16 path + packed-QKV Pallas attention == einsum attention."""
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+
+        from adaptive_classifier_tpu.models.encoder import (
+            EncoderConfig, embed_texts_device, init_params,
+        )
+
+        cfg = EncoderConfig(vocab_size=512, hidden_size=128, num_layers=2,
+                            num_heads=2, intermediate_size=256,
+                            max_position_embeddings=64)
+        params = init_params(0, cfg)
+        r = np.random.default_rng(7)
+        B, S = 3, 40
+        ids = jnp.asarray(r.integers(0, 500, (B, S)), jnp.int32)
+        mask = np.ones((B, S), np.int32)
+        mask[2, 17:] = 0
+        mask = jnp.asarray(mask)
+        base = np.asarray(embed_texts_device(params, ids, mask, cfg,
+                                             jnp.float32))
+        with pltpu.force_tpu_interpret_mode():
+            fq = np.asarray(embed_texts_device(params, ids, mask, cfg,
+                                               jnp.float32,
+                                               attn_impl="fusedqkv"))
+        np.testing.assert_allclose(fq, base, rtol=5e-3, atol=5e-3)
+
 
 @pytest.mark.skipif(
     _find_local_checkpoint("prajjwal1/bert-tiny") is None,

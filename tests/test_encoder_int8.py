@@ -64,6 +64,29 @@ def test_int8_oneshot_attention_parity():
     np.testing.assert_allclose(one, base, rtol=5e-3, atol=5e-3)
 
 
+def test_int8_fusedqkv_attention_parity():
+    """int8 + packed-QKV Pallas attention == int8 + einsum attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = EncoderConfig(vocab_size=512, hidden_size=128, num_layers=2,
+                        num_heads=2, intermediate_size=256,
+                        max_position_embeddings=64)
+    qparams = quantize_encoder_for_inference(init_params(0, cfg))
+    r = np.random.default_rng(6)
+    B, S = 3, 40
+    ids = jnp.asarray(r.integers(0, 500, (B, S)), jnp.int32)
+    mask = np.ones((B, S), np.int32)
+    mask[1, 25:] = 0
+    mask = jnp.asarray(mask)
+    base = np.asarray(embed_texts_device_int8(qparams, ids, mask, cfg,
+                                              jnp.float32))
+    with pltpu.force_tpu_interpret_mode():
+        fq = np.asarray(embed_texts_device_int8(qparams, ids, mask, cfg,
+                                                jnp.float32,
+                                                attn_impl="fusedqkv"))
+    np.testing.assert_allclose(fq, base, rtol=5e-3, atol=5e-3)
+
+
 def test_int8_roberta_position_ids_match_float_path():
     """RoBERTa + int8 uses cumsum(mask)+pad position ids like the float
     path (encoder.py:210-216) — pad rows must not read position rows 0/1."""
