@@ -296,7 +296,7 @@ class AdaptiveClassifier:
             self._ensure_head_capacity()
             self._train_new_classes(old_head, new_classes)
             if self.config.prototype_recalibration:
-                self._recalibrate_prototypes()
+                self._recalibrate_prototypes(new_classes)
         else:
             if self.head_params is None:
                 self._initialize_adaptive_head()
@@ -453,31 +453,34 @@ class AdaptiveClassifier:
         self.head_params = result.params
         self.train_steps += 1
 
-    def _recalibrate_prototypes(self):
-        """Fit the per-class prototype-softmax bias on the replay store
-        (training.fit_proto_bias) — the prototype-side fix for the
-        issue-#53 old-class accuracy drop after incremental class addition
-        (reference tests/test_new_class_accuracy_preservation.py:188-198).
-        EWC alone cannot clear that bar: the drop is prototype-softmax
-        renormalization, not head drift (docs/architecture.md deviation #6/#7).
+    def _recalibrate_prototypes(self, new_classes):
+        """Fit the per-class similarity penalty for the just-added classes
+        on the replay store (training.fit_new_class_penalty) — the
+        prototype-side fix for the issue-#53 old-class accuracy drop after
+        incremental class addition (reference
+        tests/test_new_class_accuracy_preservation.py:188-198).  EWC alone
+        cannot clear that bar: the drop is fresh prototypes attracting
+        borderline old-class queries, not head drift, and at the
+        predict_batch(k=1) rule the prediction IS the nearest prototype —
+        so the penalty applies before top-k selection
+        (docs/architecture.md deviations #6/#7).
         """
         n_total = sum(len(t) for t in self.memory.texts.values())
-        if n_total < 2 or len(self.label_to_id) < 2:
+        if n_total < 2 or len(self.label_to_id) < 2 or not new_classes:
             return
         n_cap = self.config.train_capacity(n_total)
         emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
         sims = self.memory.sims_for(emb)
-        logits = self._head_logits(emb)
-        pw, hw = self._history_weights()
-        bias, _ = training.fit_proto_bias(
-            sims, logits, lbl, valid,
-            self.memory.state.valid, self._active_mask(), pw, hw,
-            self.head_params is not None,
-            steps=self.config.recalibration_steps,
-            lr=self.config.recalibration_lr,
-            l2=self.config.recalibration_l2,
-        )
-        self._proto_bias = np.asarray(bias, np.float32)
+        prev = self._proto_bias_arr()
+        if prev is not None:            # fit the residual on top of earlier adds
+            sims = sims + prev[None, :]
+        new_ids = [self.label_to_id[c] for c in new_classes]
+        bias = np.asarray(training.fit_new_class_penalty(
+            sims, lbl, valid, self.memory.state.valid, new_ids,
+        ), np.float32)
+        if prev is not None:
+            bias = bias + np.asarray(prev, np.float32)
+        self._proto_bias = bias
 
     # ------------------------------------------------------------------
     # prediction (reference classifier.py:392-522)
@@ -548,12 +551,15 @@ class AdaptiveClassifier:
 
         def fuse_dev(emb):
             # ONE device program per chunk (sims + head + fusion): each
-            # executable launch costs multi-ms host RTT on a tunneled TPU
+            # executable launch costs multi-ms host RTT on a tunneled TPU;
+            # above fused_topk_min_classes the prototype stage runs in the
+            # two-stage fused top-k kernel (no [B, C] sims materialization)
             return fusion.fuse_topk_from_emb(
                 emb, state.proto, state.valid, self.head_params, active,
                 0.7, 0.3, kk, has_head,
                 pallas_min_classes=self.config.pallas_knn_min_classes,
                 proto_bias=proto_bias,
+                fused_min_classes=self.config.fused_topk_min_classes,
             )
 
         self._chunk_override = batch_size

@@ -159,17 +159,17 @@ class ModelConfig:
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
         #: post-incremental prototype recalibration (deviation #7): after the
-        #: incremental new-class path, fit a per-class bias on the prototype
-        #: softmax logits (class-balanced CE through the fused distribution
-        #: over the replay store).  Fixes the reference's issue-#53 regime —
-        #: old-class accuracy dropping >10% when classes are added — which
-        #: EWC provably cannot (the failure is prototype-side softmax
-        #: renormalization, docs/architecture.md deviation #6).  Zero bias
-        #: (or disabling this) is exact reference scoring.
+        #: incremental new-class path, fit a per-class similarity penalty on
+        #: the just-added classes by an exact selection-aware sweep over the
+        #: replay store (training.fit_new_class_penalty), applied BEFORE
+        #: top-k neighbor selection.  Fixes the reference's issue-#53 regime
+        #: — old-class accuracy dropping >10% when classes are added — which
+        #: EWC provably cannot (the failure is fresh prototypes attracting
+        #: borderline queries, docs/architecture.md deviation #6), and which
+        #: a post-selection softmax bias provably cannot either (inert at
+        #: the predict_batch(k=1) rule).  Zero penalty (or disabling this)
+        #: is exact reference scoring.
         self.prototype_recalibration = g("prototype_recalibration", True)
-        self.recalibration_steps = g("recalibration_steps", 300)
-        self.recalibration_lr = g("recalibration_lr", 0.05)
-        self.recalibration_l2 = g("recalibration_l2", 1e-3)
         #: host-side LRU for text→embedding (0 disables); the encoder is
         #: frozen so cached rows never go stale
         self.embedding_cache_size = g("embedding_cache_size", 4096)
@@ -203,9 +203,6 @@ class ModelConfig:
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
             "prototype_recalibration": self.prototype_recalibration,
-            "recalibration_steps": self.recalibration_steps,
-            "recalibration_lr": self.recalibration_lr,
-            "recalibration_l2": self.recalibration_l2,
         })
         return d
 

@@ -154,17 +154,20 @@ def topk_scores(
     prototypes get idx −1 and score 0 (FAISS pads with −1 the same way).
 
     ``bias`` is the post-incremental prototype recalibration (zero = exact
-    reference semantics): neighbor *selection* stays pure-distance (FAISS
-    semantics), the bias shifts only the softmax logits of the selected k.
+    reference semantics).  It shifts the similarities BEFORE top-k
+    selection: at k=1 the fused prediction is exactly the nearest valid
+    prototype, so a post-selection bias is inert there — the recalibration
+    must be able to hand a borderline query back to its old class
+    (training.fit_new_class_penalty; deliberate deviation from FAISS
+    pure-distance selection, docs/architecture.md deviation #7).
     """
     n_valid = jnp.sum(valid.astype(jnp.int32))
-    # rank by similarity (= ascending distance); invalid are 0 and lose unless
-    # fewer than k valid — mask those out after top_k.  Finite sentinels
-    # (-1e9, not -inf) keep the softmax NaN-free when nothing is valid.
-    neg = jnp.where(valid[None, :], sims, -1e9)
+    # rank by (bias-adjusted) similarity; invalid lose unless fewer than k
+    # valid — mask those out after top_k.  Finite sentinels (-1e9, not
+    # -inf) keep the softmax NaN-free when nothing is valid.
+    adj = sims if bias is None else sims + bias[None, :]
+    neg = jnp.where(valid[None, :], adj, -1e9)
     vals, idx = jax.lax.top_k(neg, k)                     # [B, k]
-    if bias is not None:
-        vals = vals + bias[jnp.clip(idx, 0)]
     kk = jnp.arange(k)[None, :]
     in_range = kk < n_valid
     logits = jnp.where(in_range, vals, -1e9)
