@@ -86,7 +86,9 @@ def fuse_full(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "has_head", "pallas_min_classes")
+    jax.jit,
+    static_argnames=("k", "has_head", "pallas_min_classes",
+                     "fused_min_classes"),
 )
 def fuse_topk_from_emb(
     emb: jax.Array,           # [B, D] normalized embeddings (on device)
@@ -100,6 +102,7 @@ def fuse_topk_from_emb(
     has_head: bool,
     pallas_min_classes: int = 512,
     proto_bias: jax.Array = None,
+    fused_min_classes: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """kNN sims + head forward + top-k fusion as ONE device program.
 
@@ -108,7 +111,28 @@ def fuse_topk_from_emb(
     multi-ms host RTT; it also lets XLA fuse the [B,C] intermediates so they
     never round-trip HBM.  Semantics identical to
     ``fuse_topk(masked_sims(...), head_forward(...), ...)``.
+
+    At FAISS-scale prototype counts (``fused_min_classes > 0`` and
+    ``C >= fused_min_classes`` on TPU) the prototype stage routes through
+    the two-stage fused top-k kernel (ops/knn_topk.py) instead — the
+    ``[B, C]`` similarity matrix never materializes; only the ``[B, k]``
+    winners and the head logits do.
     """
+    from . import knn_topk
+    from ..models import head as head_lib
+
+    C = proto.shape[0]
+    kk = min(k, C)
+    if (fused_min_classes and C >= fused_min_classes and kk <= 128
+            and (jax.default_backend() == "tpu" or knn_topk.FORCE_FUSED)):
+        topk_sc, topk_idx = knn_topk.topk_scores_fused(
+            emb, proto, proto_valid, kk, bias=proto_bias)
+        if has_head:
+            logits = head_lib.head_forward(head_params, emb, train=False)
+        else:
+            logits = jnp.zeros((emb.shape[0], C))
+        return _fuse_from_proto_topk(topk_sc, topk_idx, logits, active, C,
+                                     proto_weight, head_weight, kk, has_head)
     sims, logits = _sims_and_logits(emb, proto, proto_valid, head_params,
                                     has_head, pallas_min_classes)
     return fuse_topk(sims, logits, proto_valid, active,
@@ -167,26 +191,23 @@ def fuse_dist_from_emb(
     return jnp.where(scorable[None, :], combined, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "has_head"))
-def fuse_topk(
-    sims: jax.Array,
-    logits: jax.Array,
-    proto_valid: jax.Array,
-    active: jax.Array,
+def _fuse_from_proto_topk(
+    topk_scores: jax.Array,   # [B, kk] softmaxed prototype scores
+    topk_idx: jax.Array,      # [B, kk] class ids (−1 = padding)
+    logits: jax.Array,        # [B, C] raw head logits
+    active: jax.Array,        # [C] bool
+    C: int,
     proto_weight: float,
     head_weight: float,
-    k: int,
+    kk: int,
     has_head: bool,
-    proto_bias: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Top-k-restricted fusion with fixed scalar weights → (scores, ids)."""
-    B, C = sims.shape
-    kk = min(k, C)
-    topk_scores, topk_idx = knn.topk_scores(sims, proto_valid, kk,
-                                            bias=proto_bias)         # [B, kk]
-    # scatter the top-k softmax scores back into a [B, C] vector
-    proto_vec = jnp.zeros((B, C))
+    """Shared fuse_topk tail: scatter proto top-k + head top-k, renormalize,
+    final top-k.  Factored out so the large-C path can feed it from the
+    fused two-stage kernel (ops/knn_topk.py) without materializing sims."""
+    B = topk_scores.shape[0]
     rows = jnp.arange(B)[:, None]
+    proto_vec = jnp.zeros((B, C))
     safe_idx = jnp.clip(topk_idx, 0)
     proto_vec = proto_vec.at[rows, safe_idx].add(
         jnp.where(topk_idx >= 0, topk_scores, 0.0)
@@ -206,3 +227,24 @@ def fuse_topk(
     vals, idx = jax.lax.top_k(ranked, kk)
     ok = vals > -jnp.inf
     return jnp.where(ok, vals, 0.0), jnp.where(ok, idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "has_head"))
+def fuse_topk(
+    sims: jax.Array,
+    logits: jax.Array,
+    proto_valid: jax.Array,
+    active: jax.Array,
+    proto_weight: float,
+    head_weight: float,
+    k: int,
+    has_head: bool,
+    proto_bias: jax.Array = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k-restricted fusion with fixed scalar weights → (scores, ids)."""
+    B, C = sims.shape
+    kk = min(k, C)
+    topk_scores, topk_idx = knn.topk_scores(sims, proto_valid, kk,
+                                            bias=proto_bias)         # [B, kk]
+    return _fuse_from_proto_topk(topk_scores, topk_idx, logits, active, C,
+                                 proto_weight, head_weight, kk, has_head)

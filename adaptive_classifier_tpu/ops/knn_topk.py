@@ -47,6 +47,15 @@ except Exception:  # pragma: no cover
 #: running-buffer width — one lane register; k ≤ _KPAD
 _KPAD = 128
 
+#: trace-time dispatch counter: increments whenever the fused kernel is
+#: traced into a program (bench.py uses it to PROVE the fused path is the
+#: one actually compiled into predict_batch, not just config-eligible)
+FUSED_DISPATCHES = 0
+
+#: test hook: force the fused route on non-TPU backends (used with
+#: pltpu.force_tpu_interpret_mode() so CPU CI can exercise the kernel path)
+FORCE_FUSED = False
+
 _NEG = np.float32(-1e9)
 
 
@@ -57,7 +66,7 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(k: int, tile_c: int):
     """Kernel closure over static (k, tile_c)."""
 
-    def kernel(q_ref, p_ref, valid_ref, vals_ref, idx_ref):
+    def kernel(q_ref, p_ref, valid_ref, bias_ref, vals_ref, idx_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
 
@@ -75,7 +84,9 @@ def _make_kernel(k: int, tile_c: int):
             preferred_element_type=jnp.float32,
         )                                              # [TB, TC]
         d2 = jnp.maximum(qn + pn - 2.0 * cross, 0.0)
-        sims = jnp.where(valid_ref[:] > 0, jnp.exp(-d2), _NEG)
+        # bias shifts similarities BEFORE selection (the post-incremental
+        # recalibration contract, ops/knn.topk_scores) — zero = pure distance
+        sims = jnp.where(valid_ref[:] > 0, jnp.exp(-d2) + bias_ref[:], _NEG)
 
         tb = sims.shape[0]
         # candidate pool = running top-k ‖ this tile; ids: running buffer
@@ -110,6 +121,7 @@ def _topk_sims_pallas(
     queries: jax.Array,   # [B, D]  (padded to tile multiples)
     protos: jax.Array,    # [C, D]
     valid: jax.Array,     # [C] bool
+    bias: jax.Array,      # [C] float32 pre-selection similarity shift
     k: int,
     tile_b: int,
     tile_c: int,
@@ -118,6 +130,7 @@ def _topk_sims_pallas(
     C = protos.shape[0]
     assert B % tile_b == 0 and C % tile_c == 0, (B, C, tile_b, tile_c)
     valid_row = valid.astype(jnp.int32)[None, :]
+    bias_row = bias.astype(jnp.float32)[None, :]
 
     grid = (B // tile_b, C // tile_c)
     vals, idx = pl.pallas_call(
@@ -130,6 +143,7 @@ def _topk_sims_pallas(
         in_specs=[
             pl.BlockSpec((tile_b, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_c, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_c), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_c), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -148,7 +162,7 @@ def _topk_sims_pallas(
             bytes_accessed=4 * (B * D + C * D + 2 * B * _KPAD),
             transcendentals=B * C,
         ),
-    )(queries, protos, valid_row)
+    )(queries, protos, valid_row, bias_row)
     return vals, idx
 
 
@@ -160,6 +174,7 @@ def topk_scores_fused(
     tile_b: int = 128,
     tile_c: int = 1024,
     return_raw: bool = False,
+    bias: Optional[jax.Array] = None,   # [C] pre-selection shift
 ):
     """Fused exact top-k search: ``(scores [B,k], idx [B,k])``.
 
@@ -167,7 +182,11 @@ def topk_scores_fused(
     never materializes the ``[B, C]`` similarity matrix.  ``k ≤ 128``.
     With ``return_raw=True`` also returns the raw ``exp(−d²)`` similarity
     of each selected neighbor (pre-softmax — what ``min_similarity``
-    thresholds), 0 past the valid count.
+    thresholds), 0 past the valid count.  ``bias`` (optional [C]) shifts
+    similarities BEFORE the in-kernel selection — the post-incremental
+    prototype recalibration contract (ops/knn.topk_scores); the raw
+    similarities returned are bias-free (selection is biased, the
+    ``min_similarity`` scale is not).
 
     Measured (v5e, D=768, k=10, serial-dependency chains): 2.09× the
     materialized Pallas-sims + ``lax.top_k`` path at B=1024/C=262144,
@@ -175,6 +194,8 @@ def topk_scores_fused(
     """
     if k > _KPAD:
         raise ValueError(f"fused top-k supports k ≤ {_KPAD}, got {k}")
+    global FUSED_DISPATCHES
+    FUSED_DISPATCHES += 1
     B, D = queries.shape
     C = protos.shape[0]
     tile_c = min(tile_c, _round_up(C, 128))
@@ -182,8 +203,11 @@ def topk_scores_fused(
     qp = jnp.zeros((Bp, Dp), jnp.float32).at[:B, :D].set(queries)
     pp = jnp.zeros((Cp, Dp), jnp.float32).at[:C, :D].set(protos)
     vp = jnp.zeros((Cp,), bool).at[:C].set(valid)
+    bp = jnp.zeros((Cp,), jnp.float32)
+    if bias is not None:
+        bp = bp.at[:C].set(bias.astype(jnp.float32))
 
-    vals, idx = _topk_sims_pallas(qp, pp, vp, k, tile_b, tile_c)
+    vals, idx = _topk_sims_pallas(qp, pp, vp, bp, k, tile_b, tile_c)
     vals, idx = vals[:B, :k], idx[:B, :k]
 
     # reference scoring semantics (ops/knn.topk_scores / memory.py:117-134)
@@ -194,7 +218,8 @@ def topk_scores_fused(
     scores = jnp.where(in_range, scores, 0.0)
     idx = jnp.where(in_range, idx, -1)
     if return_raw:
-        return scores, idx, jnp.where(in_range, vals, 0.0)
+        raw = vals if bias is None else vals - bp[jnp.maximum(idx, 0)]
+        return scores, idx, jnp.where(in_range, raw, 0.0)
     return scores, idx
 
 
@@ -206,9 +231,12 @@ def topk_scores_auto(
     use_fused: Optional[bool] = None,
     fused_min_classes: int = 16384,
     return_raw: bool = False,
+    bias: Optional[jax.Array] = None,
 ):
     """Dispatch: fused two-stage kernel above ``fused_min_classes`` on TPU,
-    the materialized ``masked_sims`` + ``topk_scores`` path otherwise."""
+    the materialized ``masked_sims`` + ``topk_scores`` path otherwise.
+    ``bias`` shifts similarities before selection in BOTH paths (the
+    recalibration contract); raw similarities stay bias-free."""
     from . import knn
 
     C = protos.shape[0]
@@ -221,9 +249,9 @@ def topk_scores_auto(
         )
     if use_fused:
         return topk_scores_fused(queries, protos, valid, k,
-                                 return_raw=return_raw)
+                                 return_raw=return_raw, bias=bias)
     sims = knn.masked_sims(queries, protos, valid)
-    scores, idx = knn.topk_scores(sims, valid, k)
+    scores, idx = knn.topk_scores(sims, valid, k, bias=bias)
     if return_raw:
         raw = jnp.take_along_axis(
             sims, jnp.maximum(idx, 0), axis=1)

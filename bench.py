@@ -189,14 +189,18 @@ def _bench_large_index(stems):
     )
     build_s = time.perf_counter() - t0
 
-    # confirm the fused two-stage top-k actually carries the kNN stage
-    padded_c = int(clf.memory.state.proto.shape[0])
-    fused_active = padded_c >= clf.config.fused_topk_min_classes
+    # confirm the fused two-stage top-k actually carries the kNN stage:
+    # the kernel's trace-time dispatch counter must tick while the
+    # predict_batch program compiles (config eligibility alone proves
+    # nothing about the compiled program)
+    from adaptive_classifier_tpu.ops import knn_topk
 
+    dispatches_before = knn_topk.FUSED_DISPATCHES
     n_q = 32 if SMOKE else 2048
     queries = [stems[i % len(stems)] + f" big {i}" for i in range(n_q)]
     clf.predict_batch([s + f" bigwarm {i}" for i, s in enumerate(stems * 64)],
                       k=5)
+    fused_active = knn_topk.FUSED_DISPATCHES > dispatches_before
     qps = 0.0
     for p in range(2):
         batch = [q + f" pass {p}" for q in queries]

@@ -118,3 +118,68 @@ def test_fused_rejects_oversized_k():
     p = jnp.ones((256, 16))
     with pytest.raises(ValueError):
         knn_topk.topk_scores_fused(q, p, jnp.ones(256, bool), 129)
+
+
+def test_fused_bias_matches_materialized():
+    """Pre-selection bias (post-incremental recalibration): the fused
+    kernel's biased selection + scores must equal knn.topk_scores(bias=...),
+    and the raw similarities must stay bias-FREE (min_similarity scale)."""
+    rng = np.random.default_rng(9)
+    q = rng.normal(size=(8, 24)).astype(np.float32)
+    p = rng.normal(size=(512, 24)).astype(np.float32)
+    valid = np.ones(512, bool)
+    bias = np.zeros(512, np.float32)
+    bias[::3] = -0.25            # penalize a third of the classes
+    sims = knn.masked_sims_ref(jnp.asarray(q), jnp.asarray(p),
+                               jnp.asarray(valid))
+    s_ref, i_ref = knn.topk_scores(sims, jnp.asarray(valid), 5,
+                                   bias=jnp.asarray(bias))
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        s_got, i_got, raw = knn_topk.topk_scores_fused(
+            jnp.asarray(q), jnp.asarray(p), jnp.asarray(valid), 5,
+            tile_c=256, bias=jnp.asarray(bias), return_raw=True)
+    np.testing.assert_array_equal(np.asarray(i_got), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s_got), np.asarray(s_ref),
+                               atol=1e-6)
+    # bias must change the selection vs the unbiased kernel somewhere
+    _, i_plain = _ref(q, p, valid, 5)
+    assert not np.array_equal(np.asarray(i_got), np.asarray(i_plain))
+    # raw = unbiased exp(−d²) of the selected neighbors
+    expect_raw = np.take_along_axis(np.asarray(sims),
+                                    np.asarray(i_got), axis=1)
+    np.testing.assert_allclose(np.asarray(raw), expect_raw, atol=1e-6)
+
+
+def test_fuse_topk_from_emb_fused_path_parity():
+    """predict_batch's fused large-C route (fused_min_classes) must produce
+    the same fusion output as the materialized route, bias included."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from adaptive_classifier_tpu.ops import fusion
+
+    rng = np.random.default_rng(10)
+    B, C, D = 8, 512, 32
+    emb = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    proto = jnp.asarray(rng.normal(size=(C, D)).astype(np.float32))
+    valid = jnp.ones(C, bool)
+    active = jnp.ones(C, bool)
+    bias = jnp.asarray((rng.random(C) < 0.3).astype(np.float32) * -0.2)
+
+    base_s, base_i = fusion.fuse_topk_from_emb(
+        emb, proto, valid, None, active, 0.7, 0.3, 5, False,
+        proto_bias=bias)
+    before = knn_topk.FUSED_DISPATCHES
+    knn_topk.FORCE_FUSED = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            fused_s, fused_i = fusion.fuse_topk_from_emb(
+                emb, proto, valid, None, active, 0.7, 0.3, 5, False,
+                proto_bias=bias, fused_min_classes=C)
+    finally:
+        knn_topk.FORCE_FUSED = False
+    assert knn_topk.FUSED_DISPATCHES > before  # kernel route really taken
+    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(base_s),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(fused_i), np.asarray(base_i))
