@@ -48,6 +48,12 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
         "train_steps": clf.train_steps,
         "training_history": clf.training_history,
         "config": clf.config.to_full_dict(),
+        # ours (ignored by the reference): the classifier seed must survive
+        # the round trip — in offline mode the encoder's deterministic
+        # random weights derive from (seed, model_name), so loading with a
+        # different seed would silently rebuild a DIFFERENT embedding space
+        # than the saved prototypes live in
+        "ac_seed": clf.seed,
         "library_name": "adaptive-classifier",
     }
 
@@ -119,6 +125,7 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
             extra_config={
                 "ac_finetuned_from": clf.model_name,
                 "ac_pooling": clf.encoder.config.pooling,
+                "ac_pool_layer": clf.encoder.config.pool_layer,
             },
         )
         saved["encoder"] = "encoder/"
@@ -168,6 +175,10 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         model_name,
         device=device,
         config=config_dict.get("config", None),
+        # restore the saved seed (see save side): offline-mode encoders are
+        # seeded by (seed, model_name); reference checkpoints lack the key
+        # and keep the constructor default
+        seed=config_dict.get("ac_seed", 42),
     )
     if model_name == str(embedded_encoder):
         # keep the user-facing base-model identity, and mark the encoder so

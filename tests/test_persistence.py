@@ -98,6 +98,33 @@ def test_confidence_drift_below_001(saved):
             assert abs(before[label] - after[label]) < 0.01
 
 
+def test_offline_roundtrip_preserves_encoder_seed(tmp_path):
+    """Offline-mode encoders derive their deterministic random weights from
+    (seed, model_name).  A load that dropped the saved seed would rebuild a
+    DIFFERENT embedding space than the prototypes live in — query texts
+    would embed off-space and predictions would silently drift (found by
+    round-3 verification; the synthetic-embed fixtures above masked it).
+    The seed must round-trip via config.json's ac_seed."""
+    cfg = {"train_size_buckets": [64], "class_capacity_buckets": [8],
+           "example_capacity_buckets": [32], "embedding_cache_size": 0}
+    clf = AdaptiveClassifier("prajjwal1/bert-tiny", config=cfg, seed=7)
+    clf.add_examples(
+        ["alpha beta gamma", "delta epsilon zeta",
+         "eta theta iota", "kappa lambda mu"],
+        ["a", "a", "b", "b"])
+    path = tmp_path / "ckpt"
+    clf.save(str(path))
+    clf2 = AdaptiveClassifier.load(str(path))
+    assert clf2.seed == 7
+    q = ["nu xi omicron"]
+    e1, e2 = clf._get_embeddings(q), clf2._get_embeddings(q)
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+    p1, p2 = clf.predict_batch(q, k=2), clf2.predict_batch(q, k=2)
+    assert [l for l, _ in p1[0]] == [l for l, _ in p2[0]]
+    for (_, s1), (_, s2) in zip(p1[0], p2[0]):
+        assert abs(s1 - s2) < 1e-5
+
+
 def test_training_history_persists(saved):
     clf, path = saved
     clf2 = _reload(path)
