@@ -50,6 +50,11 @@ class EncoderConfig:
     #: — used by our MLM-only pretrained checkpoints via config.json's
     #: "ac_pooling" key)
     pooling: str = "cls"
+    #: pool after this many transformer layers (0 = all layers).  Middle
+    #: layers of MLM-pretrained encoders often transfer better to sentence
+    #: tasks than the last layer (which specializes toward the MLM
+    #: objective); persisted via config.json's "ac_pool_layer" key
+    pool_layer: int = 0
     # ModernBERT-specific (ignored by classic BERT)
     global_attn_every_n_layers: int = 3
     local_attention: int = 128
@@ -258,6 +263,11 @@ def encoder_forward(
         [layers.pop("q_w"), layers.pop("k_w"), layers.pop("v_w")], axis=2)
     layers["qkv_b"] = jnp.concatenate(
         [layers.pop("q_b"), layers.pop("k_b"), layers.pop("v_b")], axis=1)
+    if 0 < cfg.pool_layer < cfg.num_layers:
+        # truncate the stacked-layer pytree: run (and pay for) only the
+        # first pool_layer layers — a static slice, so each depth compiles
+        # its own (cheaper) program
+        layers = jax.tree.map(lambda a: a[: cfg.pool_layer], layers)
 
     def layer_body(h, lp):
         x = h
@@ -410,6 +420,7 @@ def _read_hf_config(path: Path) -> EncoderConfig:
         layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
         pad_token_id=cfg.get("pad_token_id", 0), arch="bert",
         pooling=cfg.get("ac_pooling", "cls"),
+        pool_layer=cfg.get("ac_pool_layer", 0),
     )
 
 

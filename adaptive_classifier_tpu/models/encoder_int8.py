@@ -216,7 +216,12 @@ def encoder_forward_int8(
                             lp["ffn_ln_scale"], lp["ffn_ln_bias"], cfg.layer_norm_eps)
         return h, None
 
-    h, _ = jax.lax.scan(layer_body, h, qparams["layers"])
+    layers = qparams["layers"]
+    if 0 < cfg.pool_layer < cfg.num_layers:
+        # truncated-depth pooling (EncoderConfig.pool_layer): static slice,
+        # mirrors the float path in encoder.py
+        layers = jax.tree.map(lambda a: a[: cfg.pool_layer], layers)
+    h, _ = jax.lax.scan(layer_body, h, layers)
     return h.astype(jnp.float32)
 
 

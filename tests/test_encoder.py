@@ -113,6 +113,46 @@ class TestEncoder:
                                                attn_impl="fusedqkv"))
         np.testing.assert_allclose(fq, base, rtol=5e-3, atol=5e-3)
 
+    def test_pool_layer_truncates_depth(self):
+        """pool_layer=k == forward over an encoder whose params are
+        physically truncated to the first k layers; 0 and num_layers are
+        the identity."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_classifier_tpu.models.encoder import (
+            EncoderConfig, embed_texts_device, init_params,
+        )
+
+        cfg = EncoderConfig(vocab_size=512, hidden_size=64, num_layers=4,
+                            num_heads=2, intermediate_size=128,
+                            max_position_embeddings=64)
+        params = init_params(0, cfg)
+        r = np.random.default_rng(11)
+        B, S = 2, 24
+        ids = jnp.asarray(r.integers(0, 500, (B, S)), jnp.int32)
+        mask = jnp.ones((B, S), jnp.int32)
+
+        full = np.asarray(embed_texts_device(params, ids, mask, cfg,
+                                             jnp.float32))
+        same = np.asarray(embed_texts_device(
+            params, ids, mask, dataclasses.replace(cfg, pool_layer=4),
+            jnp.float32))
+        np.testing.assert_allclose(same, full, rtol=1e-6, atol=1e-6)
+
+        cfg2 = dataclasses.replace(cfg, pool_layer=2)
+        k2 = np.asarray(embed_texts_device(params, ids, mask, cfg2,
+                                           jnp.float32))
+        trunc = dict(params)
+        trunc["layers"] = jax.tree.map(lambda a: a[:2], params["layers"])
+        manual = np.asarray(embed_texts_device(
+            trunc, ids, mask,
+            dataclasses.replace(cfg, num_layers=2), jnp.float32))
+        np.testing.assert_allclose(k2, manual, rtol=1e-6, atol=1e-6)
+        assert not np.allclose(k2, full, atol=1e-3)
+
 
 @pytest.mark.skipif(
     _find_local_checkpoint("prajjwal1/bert-tiny") is None,

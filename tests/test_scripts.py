@@ -33,6 +33,53 @@ def test_eval_strategic_synthetic(monkeypatch, capsys):
     assert "robustness_drop" in out and "strategic" in out
 
 
+def test_ab_pool_layer_sweep(monkeypatch, capsys, tmp_path):
+    """Depth sweep runs end-to-end and reports every requested depth;
+    pool_layer variants go through a real checkpoint-dir round trip
+    (ac_pool_layer in config.json)."""
+    out_file = tmp_path / "pool.json"
+    run_script(
+        "ab_pool_layer.py",
+        ["--model", "checkpoints/ac-tiny", "--depths", "0,2",
+         "--datasets", "spam", "--json-out", str(out_file)],
+        monkeypatch,
+    )
+    import json as _json
+
+    res = _json.loads(out_file.read_text())
+    assert set(res) == {"0", "2"}
+    for accs in res.values():
+        assert 0.0 <= accs["spam"] <= 1.0
+    out = capsys.readouterr().out
+    assert "macro=" in out
+
+
+def test_label_mapping_divergence_between_feed_patterns():
+    """One-shot add_examples sorts the new labels; chunked feeding assigns
+    ids in arrival order — two classifiers over the SAME data can therefore
+    hold different label_to_id maps.  eval_strategic.py's gaming row once
+    mixed the two mappings, flipping the regular row to exactly
+    1 - accuracy on the 2-way set (round-3 fix: each row must build its
+    label vector from its own classifier's mapping)."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    cfg = {"train_size_buckets": [64], "class_capacity_buckets": [8],
+           "example_capacity_buckets": [32]}
+    texts_pos = [f"great wonderful product number {i}" for i in range(4)]
+    texts_neg = [f"terrible awful experience number {i}" for i in range(4)]
+
+    oneshot = AdaptiveClassifier("prajjwal1/bert-tiny", config=cfg)
+    oneshot.add_examples(texts_pos + texts_neg,
+                         ["positive"] * 4 + ["negative"] * 4)
+
+    chunked = AdaptiveClassifier("prajjwal1/bert-tiny", config=cfg)
+    chunked.add_examples(texts_pos, ["positive"] * 4)
+    chunked.add_examples(texts_neg, ["negative"] * 4)
+
+    assert oneshot.label_to_id == {"negative": 0, "positive": 1}
+    assert chunked.label_to_id == {"positive": 0, "negative": 1}
+
+
 def test_real_datasets_load_and_are_wellformed():
     """The frozen real-text datasets parse and have the expected shapes."""
     import json
