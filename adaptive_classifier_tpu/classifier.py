@@ -84,7 +84,16 @@ class AdaptiveClassifier:
             model_name, compute_dtype=self.config.compute_dtype, seed=seed,
             quantization=self.config.quantization,
         )
-        self.embedding_dim = self.encoder.hidden_size
+        #: hashed TF-IDF lexical channel (lexical.py, beyond-reference);
+        #: None = dense-encoder-only, exact reference semantics
+        self.lexical = None
+        if self.config.lexical_dim:
+            from .lexical import HashedTfidf
+
+            self.lexical = HashedTfidf(self.config.lexical_dim,
+                                       self.config.lexical_weight)
+        self.embedding_dim = self.encoder.hidden_size + (
+            self.lexical.dim if self.lexical is not None else 0)
 
         self.memory = PrototypeMemory(self.embedding_dim, config=self.config)
 
@@ -145,6 +154,10 @@ class AdaptiveClassifier:
         return self._embed_uncached(texts)
 
     def _tokenize_chunk(self, part: List[str]):
+        """→ (ids, mask, lex) — ``lex`` is the hashed-TFIDF block for the
+        padded chunk (None when the lexical channel is off).  Computed here
+        so it rides the tokenization lookahead thread: the host builds the
+        lexical features while the device runs the previous chunk."""
         # batch buckets {1, 8, 64, chunk}: single-query predicts don't pay 8×
         if len(part) == 1:
             pad_to = 1
@@ -155,10 +168,20 @@ class AdaptiveClassifier:
         else:
             pad_to = self.config.embed_chunk_size
         padded = list(part) + [""] * (max(pad_to, len(part)) - len(part))
-        return self.encoder.tokenizer(
+        ids, mask = self.encoder.tokenizer(
             padded, max_length=self.config.max_length,
             pad_to_buckets=self.encoder.SEQ_BUCKETS,
         )
+        lex = None
+        if self.lexical is not None:
+            if not self.lexical.fitted or isinstance(self.lexical.weight, str):
+                raise RuntimeError(
+                    "lexical channel not ready: the IDF table and channel "
+                    "weight are fitted on the first add_examples() batch — "
+                    "embed/predict need at least one add_examples first"
+                )
+            lex = self.lexical.transform(padded)
+        return ids, mask, lex
 
     def _embed_chunks_device(self, texts: List[str]):
         """Yield ``(emb_device [chunk_pad, D], n_valid_rows)`` per chunk with a
@@ -178,11 +201,12 @@ class AdaptiveClassifier:
         parts = [texts[s : s + chunk] for s in range(0, len(texts), chunk)]
         if len(parts) == 1:
             with stage("tokenize"):
-                ids, mask = self._tokenize_chunk(parts[0])
+                ids, mask, lex = self._tokenize_chunk(parts[0])
             with stage("encoder_forward"):
                 emb = self.encoder._embed(
                     self.encoder.params, jnp.asarray(ids), jnp.asarray(mask)
                 )
+                emb = self._compose_channels(emb, lex)
             yield emb, len(parts[0])
             return
 
@@ -190,14 +214,57 @@ class AdaptiveClassifier:
             pending_tok = pool.submit(self._tokenize_chunk, parts[0])
             for i, part in enumerate(parts):
                 with stage("tokenize"):
-                    ids, mask = pending_tok.result()
+                    ids, mask, lex = pending_tok.result()
                 if i + 1 < len(parts):
                     pending_tok = pool.submit(self._tokenize_chunk, parts[i + 1])
                 with stage("encoder_forward"):
                     emb = self.encoder._embed(
                         self.encoder.params, jnp.asarray(ids), jnp.asarray(mask)
                     )  # async dispatch — device runs while host tokenizes
+                    emb = self._compose_channels(emb, lex)
                 yield emb, len(part)
+
+    def _compose_channels(self, enc_dev, lex) -> jax.Array:
+        """``[enc, w*lex] / sqrt(1+w²)`` on device (lexical.py semantics);
+        identity when the lexical channel is off."""
+        if self.lexical is None or lex is None:
+            return enc_dev
+        import math as _math
+
+        w = float(self.lexical.weight)
+        s = 1.0 / _math.sqrt(1.0 + w * w)
+        return jnp.concatenate(
+            [enc_dev * s, jnp.asarray(lex) * (w * s)], axis=1)
+
+    def _ensure_lexical_ready(self, texts: List[str], labels: List[str]):
+        """First-batch lexical setup (no-op afterwards): fit the IDF table,
+        then resolve weight="auto" by the nearest-prototype sweep on the
+        batch (lexical.HashedTfidf.resolve_weight).  A single-class first
+        batch cannot be swept — it falls back to w=1.0 (documented)."""
+        if self.lexical is None or (
+                self.lexical.fitted
+                and not isinstance(self.lexical.weight, str)):
+            return
+        if not self.lexical.fitted:
+            self.lexical.fit(texts)
+        if isinstance(self.lexical.weight, str):
+            uniq = sorted(set(labels))
+            if len(uniq) < 2:
+                self.lexical.weight = 1.0
+            else:
+                # dense encoder parts only (composition needs the weight)
+                saved, self.lexical = self.lexical, None
+                try:
+                    enc = self._embed_uncached(texts)
+                finally:
+                    self.lexical = saved
+                lex = self.lexical.transform(texts)
+                lid = {l: i for i, l in enumerate(uniq)}
+                w = self.lexical.resolve_weight(
+                    enc, lex, [lid[l] for l in labels])
+                logger.info(f"lexical channel weight resolved to {w}")
+        if getattr(self, "_emb_cache", None) is not None:
+            self._emb_cache = None  # defensive: no stale pre-lexical rows
 
     def _embed_uncached(self, texts: List[str]) -> np.ndarray:
         """Host-side embeddings via the chunked device pipeline; drains are
@@ -273,6 +340,8 @@ class AdaptiveClassifier:
         if len(texts) != len(labels):
             raise ValueError("Mismatched text and label lists")
 
+        self._ensure_lexical_ready(texts, labels)
+
         has_existing_classes = len(self.label_to_id) > 0
         new_classes = set(labels) - set(self.label_to_id.keys())
         is_adding_new_classes = len(new_classes) > 0
@@ -311,13 +380,17 @@ class AdaptiveClassifier:
     # ------------------------------------------------------------------
     def _initialize_adaptive_head(self):
         """hidden_dims = [D, D//2] as the classifier builds it
-        (classifier.py:1238-1247)."""
+        (classifier.py:1238-1247).  With the lexical channel on, hidden
+        widths stay at the DENSE dim: [D+L, D+L/2] would be a ~75M-param
+        head at L=8192; the wide sparse input needs a wide first weight
+        matrix (input_dim × D), not wide hidden layers."""
+        D = self.encoder.hidden_size
         self.head_params = head_lib.init_head(
             jax.random.PRNGKey(self.seed),
             self.embedding_dim,
             self._class_capacity,
             max(len(self.label_to_id), 1),
-            hidden_dims=[self.embedding_dim, self.embedding_dim // 2],
+            hidden_dims=[D, D // 2],
         )
 
     def _ensure_head_capacity(self):

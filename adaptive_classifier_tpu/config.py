@@ -158,6 +158,17 @@ class ModelConfig:
         self.fused_topk_min_classes = g("fused_topk_min_classes", 16384)
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
+        #: hashed TF-IDF lexical channel width (lexical.py; beyond-reference,
+        #: 0 = off = exact reference semantics).  When on, embeddings are
+        #: [encoder, w·lexical]/√(1+w²) and embedding_dim grows by this.
+        #: Must be a multiple of 128 (TPU lane width); 8192 preserves the
+        #: full sparse TF-IDF model's accuracy (2048 loses ~12pp to hash
+        #: collisions, measured on the authored eval sets)
+        self.lexical_dim = g("lexical_dim", 0)
+        #: lexical channel weight: float, or "auto" = nearest-prototype
+        #: sweep on the first add_examples batch (task-dependent: measured
+        #: category wants 4.0, topic 0.5; the sweep includes 0 = off)
+        self.lexical_weight = g("lexical_weight", "auto")
         #: post-incremental prototype recalibration (deviation #7): after the
         #: incremental new-class path, fit a per-class similarity penalty on
         #: the just-added classes by an exact selection-aware sweep over the
@@ -203,6 +214,8 @@ class ModelConfig:
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
             "prototype_recalibration": self.prototype_recalibration,
+            "lexical_dim": self.lexical_dim,
+            "lexical_weight": self.lexical_weight,
         })
         return d
 

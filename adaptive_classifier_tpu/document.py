@@ -89,6 +89,13 @@ def embed_document(clf, text: str, chunk_tokens: Optional[int] = None,
         mask[r, : len(row)] = 1
     emb = clf.encoder._embed(clf.encoder.params, jnp.asarray(ids),
                              jnp.asarray(mask))[:W]
+    if getattr(clf, "lexical", None) is not None:
+        # document-level lexical view appended to every window: the hashed
+        # bag-of-ngrams is a whole-document feature (per-window bags would
+        # just be noisier slices of it), and prototypes live in the
+        # composed space
+        lex = clf.lexical.transform([text])
+        emb = clf._compose_channels(emb, np.repeat(lex, W, axis=0))
     counts = np.asarray([len(w) + 2 for w in wins], np.float32)
     return emb, counts
 

@@ -198,6 +198,15 @@ def topk_scores_fused(
     FUSED_DISPATCHES += 1
     B, D = queries.shape
     C = protos.shape[0]
+    # VMEM guard: the prototype tile is [tile_c, Dp] f32 and must fit
+    # alongside the query tile + running buffers.  At D=768 the default
+    # 1024 tile is ~3 MB; at lexical-channel widths (D≈8704) it would be
+    # ~35 MB — clamp so the tile stays ≤ ~6 MB (VMEM is ~16 MB/core).
+    Dp_est = _round_up(D, 128)
+    max_tile_c = max(128, (6 * 1024 * 1024 // (4 * Dp_est)) // 128 * 128)
+    tile_c = min(tile_c, max_tile_c)
+    if tile_b * Dp_est * 4 > 4 * 1024 * 1024:
+        tile_b = max(8, (4 * 1024 * 1024 // (4 * Dp_est)) // 8 * 8)
     tile_c = min(tile_c, _round_up(C, 128))
     Bp, Cp, Dp = _round_up(B, tile_b), _round_up(C, tile_c), _round_up(D, 128)
     qp = jnp.zeros((Bp, Dp), jnp.float32).at[:B, :D].set(queries)

@@ -80,6 +80,14 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
         tensor_dict["proto_calibration_bias"] = np.ascontiguousarray(
             np.asarray(clf._proto_bias, np.float32))
 
+    # lexical channel state (ours): fitted IDF table + resolved weight.
+    # Without it a reload would refit on a different batch and rebuild a
+    # different embedding space than the stored prototypes live in.  A
+    # lexical checkpoint is NOT reference-loadable (embedding_dim differs);
+    # the reference ignores both this file and the config keys.
+    if getattr(clf, "lexical", None) is not None and clf.lexical.fitted:
+        clf.lexical.save(save_directory / "lexical.json")
+
     (save_directory / "config.json").write_text(
         json.dumps(config_dict, indent=2, sort_keys=True), encoding="utf-8"
     )
@@ -180,6 +188,11 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         # and keep the constructor default
         seed=config_dict.get("ac_seed", 42),
     )
+    lex_file = model_path / "lexical.json"
+    if lex_file.exists() and clf.lexical is not None:
+        from .lexical import HashedTfidf
+
+        clf.lexical = HashedTfidf.load(lex_file)
     if model_name == str(embedded_encoder):
         # keep the user-facing base-model identity, and mark the encoder so
         # a re-save persists the adapted weights again
