@@ -465,19 +465,74 @@ class AdaptiveClassifier:
             sel_pos += list(int(i) for i in idxs)
             sel_labels += [self.label_to_id[label]] * len(idxs)
 
+        # Lossy-replay detection: after a load only ~5 representative rows
+        # per class survive (reference classifier.py:559-566) while
+        # training_history still counts every example the class ever
+        # trained on.  Retraining the whole head on that thin replay
+        # catastrophically forgets (measured: a loaded 4-class zoo
+        # checkpoint + one 3-example new class drove per-label-fusion
+        # old-class accuracy 0.70 → 0.00; EWC λ and LwF distillation up to
+        # λ=512 could not stop it — 18 anchor rows in an 8704-dim space
+        # constrain nothing).  The fix with a *guarantee*: freeze the trunk
+        # and old output rows and train only the new classes' output rows —
+        # old-class logits stay bit-identical by construction.
+        old_labels = [l for l in counts if l not in new_classes]
+        lossy_replay = old_head is not None and any(
+            self.training_history.get(l, 0) > counts.get(l, 0)
+            for l in old_labels
+        )
+        freeze_old = lossy_replay and self.config.incremental_freeze_on_lossy_replay
+
         n_sel = len(sel_labels)
-        n_cap = self.config.train_capacity(n_sel)
+        proto_rows = []
+        if freeze_old:
+            # The ~12 replay rows are the ONLY negatives the new output rows
+            # ever see, so their logits float high on typical old-class
+            # inputs away from them (measured: mean new-class logit 1.11 vs
+            # 0.17 for old classes on old-class queries — every stolen
+            # prediction flipped to the new class).  The exact checkpointed
+            # prototypes are full-information summaries of the lost training
+            # data and were never replay rows: append each old prototype as
+            # 3 labeled training rows to anchor the new logits down across
+            # each old class's region.
+            for label in old_labels:
+                slot = self.memory.label_to_index[label]
+                proto_rows += [(slot, self.label_to_id[label])] * 3
+        n_rows = n_sel + len(proto_rows)
+        n_cap = self.config.train_capacity(n_rows)
         slots = np.zeros((n_cap,), np.int32)
         poss = np.zeros((n_cap,), np.int32)
         lbls = np.zeros((n_cap,), np.int32)
         slots[:n_sel], poss[:n_sel], lbls[:n_sel] = sel_slots, sel_pos, sel_labels
         emb = self.memory.state.emb[jnp.asarray(slots), jnp.asarray(poss)]
-        valid = jnp.arange(n_cap) < n_sel
+        if proto_rows:
+            pslots = jnp.asarray([s for s, _ in proto_rows], jnp.int32)
+            emb = emb.at[n_sel:n_rows].set(self.memory.state.proto[pslots])
+            lbls[n_sel:n_rows] = [l for _, l in proto_rows]
+        valid = jnp.arange(n_cap) < n_rows
 
-        # EWC over ≤5 exemplars per old class (classifier.py:287-303)
+        # EWC over ≤5 exemplars per old class (classifier.py:287-303) +
+        # LwF logit distillation on the replay rows (training._distill_loss)
         ewc_bundle = None
-        if old_head is not None:
-            old_labels = [l for l in counts if l not in new_classes]
+        distill_logits = None
+        old_active = None
+        if old_head is not None and not freeze_old:
+            n_old = len(self.label_to_id) - len(new_classes)
+            old_active = jnp.arange(self._class_capacity) < n_old
+            old_padded = old_head
+            if old_padded["out"]["w"].shape[1] < self._class_capacity:
+                old_padded = head_lib.grow_capacity(
+                    old_padded, self._class_capacity,
+                    jax.random.PRNGKey(self.seed), n_old,
+                )
+            if "skip" in self.head_params:
+                # keep pytree structures aligned for the EWC leaf zips
+                old_padded = head_lib.ensure_skip(old_padded,
+                                                  self.embedding_dim)
+            if self.config.incremental_distill_lambda > 0:
+                # frozen-teacher logits for every replay row (eval mode)
+                distill_logits = head_lib.head_forward(
+                    old_padded, emb, train=False)
             o_slots, o_pos = [], []
             for label in old_labels:
                 slot = self.memory.label_to_index[label]
@@ -492,14 +547,6 @@ class AdaptiveClassifier:
                 op_[: len(o_pos)] = o_pos
                 o_emb = self.memory.state.emb[jnp.asarray(os_), jnp.asarray(op_)]
                 o_valid = jnp.arange(o_cap) < len(o_slots)
-                n_old = len(self.label_to_id) - len(new_classes)
-                old_active = jnp.arange(self._class_capacity) < n_old
-                old_padded = old_head
-                if old_padded["out"]["w"].shape[1] < self._class_capacity:
-                    old_padded = head_lib.grow_capacity(
-                        old_padded, self._class_capacity,
-                        jax.random.PRNGKey(self.seed), n_old,
-                    )
                 # reference pins λ=5.0 for incremental training
                 # (classifier.py:279-303) — but its penalty is provably
                 # inert (docs/architecture.md), so the live λ is tunable
@@ -510,18 +557,66 @@ class AdaptiveClassifier:
                     ewc_lambda=self.config.incremental_ewc_lambda,
                 )
 
+        grad_mask = None
+        loss_type = "ce"
+        labels_arr = jnp.asarray(lbls)
+        if freeze_old:
+            n_old = len(self.label_to_id) - len(new_classes)
+            self._ensure_head_capacity()
+            # the frozen trunk's first layer never saw the new class's
+            # discriminative input coordinates, so no function of h(x) can
+            # separate it — give the new rows a linear probe on the raw
+            # embedding as well (head_forward's skip block)
+            self.head_params = head_lib.ensure_skip(
+                self.head_params, self.embedding_dim)
+            cap = self.head_params["out"]["w"].shape[1]
+            new_rows = (jnp.arange(cap) >= n_old).astype(jnp.float32)
+            grad_mask = jax.tree.map(jnp.zeros_like, self.head_params)
+            grad_mask["out"]["w"] = jnp.broadcast_to(
+                new_rows[None, :], self.head_params["out"]["w"].shape)
+            grad_mask["out"]["b"] = new_rows
+            grad_mask["skip"]["w"] = jnp.broadcast_to(
+                new_rows[None, :], self.head_params["skip"]["w"].shape)
+            # one-vs-all sigmoid probes for the new rows, NOT softmax CE:
+            # the frozen old logits sit at 6-7 on their own rows, so softmax
+            # CE is already ~satisfied everywhere and leaves the new logit
+            # at its random-init floor (~1.1) — which then out-scores the
+            # old head exactly on borderline queries where old logits are
+            # diffuse (~0.2).  BCE pushes the new logit genuinely negative
+            # at every negative row regardless of old-head confidence.
+            loss_type = "bce"
+            labels_arr = jax.nn.one_hot(labels_arr, cap, dtype=jnp.float32)
+            # zero the new rows' random-init weights so anything nonzero in
+            # the probe is learned signal, not leftover init floor
+            self.head_params = dict(self.head_params)
+            self.head_params["out"] = {
+                "w": self.head_params["out"]["w"] * (1.0 - new_rows[None, :]),
+                "b": self.head_params["out"]["b"] * (1.0 - new_rows),
+            }
+
+        has_distill = distill_logits is not None
         result = training.fit_head(
-            self.head_params, emb, jnp.asarray(lbls), valid, self._active_mask(),
+            self.head_params, emb, labels_arr, valid, self._active_mask(),
             jax.random.fold_in(jax.random.PRNGKey(self.seed), 7919 + self.train_steps),
-            lr=0.001,
-            loss_type="ce",
-            max_epochs=15,
-            patience=3,
+            # the frozen-probe fit is a linear one-vs-all regression from
+            # zeroed weights — it needs a real schedule to move, and cannot
+            # hurt the (frozen) old rows no matter how long it runs
+            lr=0.01 if freeze_old else 0.001,
+            loss_type=loss_type,
+            max_epochs=100 if freeze_old else 15,
+            patience=10 if freeze_old else 3,
             use_scheduler=False,
             has_ewc=ewc_bundle is not None,
             ewc_old=ewc_bundle.old_params if ewc_bundle else None,
             ewc_fisher=ewc_bundle.fisher if ewc_bundle else None,
             ewc_lambda=ewc_bundle.ewc_lambda if ewc_bundle else 0.0,
+            has_distill=has_distill,
+            distill_logits=distill_logits,
+            distill_active=old_active if has_distill else None,
+            distill_lambda=self.config.incremental_distill_lambda,
+            distill_temperature=self.config.incremental_distill_temperature,
+            has_grad_mask=grad_mask is not None,
+            grad_mask=grad_mask,
         )
         self.head_params = result.params
         self.train_steps += 1

@@ -102,6 +102,22 @@ class ModelConfig:
         #: λ for the incremental new-class path (reference hard-codes 5.0,
         #: classifier.py:279-303; tunable here because our penalty is live)
         self.incremental_ewc_lambda = g("incremental_ewc_lambda", 5.0)
+        #: Learning-without-Forgetting distillation weight for the
+        #: incremental new-class path: anchors old-class logits to the
+        #: frozen pre-add head on replay rows.  Essential after a LOAD,
+        #: where only ~5 representative rows/class survive the checkpoint
+        #: (reference classifier.py:559-566) and CE alone collapses the
+        #: head onto the new class (training._distill_loss).  0 disables.
+        self.incremental_distill_lambda = g("incremental_distill_lambda", 1.0)
+        self.incremental_distill_temperature = g(
+            "incremental_distill_temperature", 2.0)
+        #: when the replay store is LOSSY (training_history exceeds stored
+        #: rows — the post-load signature), freeze the head trunk and old
+        #: output rows during incremental new-class training: old-class
+        #: logits stay bit-identical, which is the only thing that provably
+        #: prevents catastrophic forgetting on ~5 replay rows/class
+        self.incremental_freeze_on_lossy_replay = g(
+            "incremental_freeze_on_lossy_replay", True)
         self.num_representative_examples = g("num_representative_examples", 5)
 
         # Training settings
@@ -213,6 +229,11 @@ class ModelConfig:
             "strategic_num_candidates": self.strategic_num_candidates,
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
+            "incremental_distill_lambda": self.incremental_distill_lambda,
+            "incremental_distill_temperature":
+                self.incremental_distill_temperature,
+            "incremental_freeze_on_lossy_replay":
+                self.incremental_freeze_on_lossy_replay,
             "prototype_recalibration": self.prototype_recalibration,
             "lexical_dim": self.lexical_dim,
             "lexical_weight": self.lexical_weight,

@@ -46,7 +46,18 @@ class MemoryState:
 
     emb: jax.Array      # [C, E, D] float32 — example embeddings (padded)
     count: jax.Array    # [C] int32 — valid examples per class row
-    proto: jax.Array    # [C, D] float32 — masked mean per class row
+    proto: jax.Array    # [C, D] float32 — running mean per class row
+    #: [C] float32 — number of embeddings aggregated into ``proto``.  After a
+    #: load this can EXCEED ``count``: checkpoints keep only ~5
+    #: representative examples/class (reference classifier.py:559-566) while
+    #: the restored prototype is the exact build-time mean over every example
+    #: the class ever saw (weight = training_history).  Running-mean updates
+    #: against this weight are what keep that information alive — a full
+    #: recompute from the lossy buffer on the next ``add`` was measured to
+    #: drop a loaded 4-class zoo checkpoint's prototype-only accuracy from
+    #: 0.70 to 0.43 (every class's prototype drifted ~0.4 L2 from one
+    #: unrelated add).
+    pweight: jax.Array
 
     @property
     def class_capacity(self) -> int:
@@ -70,6 +81,7 @@ def init_state(class_capacity: int, example_capacity: int, dim: int) -> MemorySt
         emb=jnp.zeros((class_capacity, example_capacity, dim), jnp.float32),
         count=jnp.zeros((class_capacity,), jnp.int32),
         proto=jnp.zeros((class_capacity, dim), jnp.float32),
+        pweight=jnp.zeros((class_capacity,), jnp.float32),
     )
 
 
@@ -79,12 +91,19 @@ def init_state(class_capacity: int, example_capacity: int, dim: int) -> MemorySt
 
 @jax.jit
 def recompute_prototypes(state: MemoryState) -> MemoryState:
-    """Prototype = masked mean over stored examples (memory.py:148-153)."""
+    """Prototype = masked mean over stored examples (memory.py:148-153).
+
+    Resets ``pweight`` to the buffer count: a recompute derives the
+    prototype from the stored rows alone, discarding any loaded exact
+    prototype — only prune/reembed/restore flows (where the buffer IS the
+    source of truth) should call this.
+    """
     C, E, _ = state.emb.shape
     mask = (jnp.arange(E)[None, :] < state.count[:, None]).astype(jnp.float32)
     sums = jnp.einsum("ce,ced->cd", mask, state.emb)
     denom = jnp.maximum(state.count.astype(jnp.float32), 1.0)[:, None]
-    return state.replace(proto=sums / denom)
+    return state.replace(proto=sums / denom,
+                         pweight=state.count.astype(jnp.float32))
 
 
 @jax.jit
@@ -111,8 +130,25 @@ def add_batch(state: MemoryState, emb: jax.Array, cls: jax.Array) -> MemoryState
     new_emb = state.emb.at[safe_cls, pos].set(emb)
     adds = jnp.zeros_like(state.count).at[safe_cls].add(valid.astype(jnp.int32))
     new_count = jnp.minimum(state.count + adds, state.example_capacity)
-    state = state.replace(emb=new_emb, count=new_count)
-    return recompute_prototypes(state)
+    # RUNNING-MEAN prototype update for the touched classes only — never a
+    # full recompute from the buffer.  The reference updates only the added
+    # class (memory.py:68 → :138-159); we additionally weight by ``pweight``
+    # so that after a lossy load (5 representative rows/class) the exact
+    # checkpointed prototype keeps its full build-time aggregate instead of
+    # being flattened onto the survivors.  For a never-saved classifier
+    # pweight == count and this equals the masked mean exactly.
+    sums = jnp.zeros_like(state.proto).at[safe_cls].add(
+        jnp.where(valid[:, None], emb, 0.0))
+    adds_f = adds.astype(jnp.float32)
+    new_pw = state.pweight + adds_f
+    new_proto = jnp.where(
+        (adds > 0)[:, None],
+        (state.proto * state.pweight[:, None] + sums)
+        / jnp.maximum(new_pw, 1.0)[:, None],
+        state.proto,
+    )
+    return state.replace(emb=new_emb, count=new_count,
+                         proto=new_proto, pweight=new_pw)
 
 
 @functools.partial(jax.jit, static_argnames=("max_examples",))
@@ -134,8 +170,16 @@ def prune(state: MemoryState, max_examples: int) -> Tuple[MemoryState, jax.Array
     keep_n = jnp.minimum(state.count, max_examples)
     keep_mask = jnp.arange(E)[None, :] < keep_n[:, None]
     new_emb = jnp.where(keep_mask[:, :, None], gathered, 0.0)
+    pruned = keep_n < state.count
     state = state.replace(emb=new_emb, count=keep_n)
-    return recompute_prototypes(state), order
+    # reference recomputes the PRUNED class's prototype over survivors
+    # (memory.py:196-217 → :138-159); untouched classes keep their running
+    # prototype (after a load that is the exact checkpointed one)
+    rec = recompute_prototypes(state)
+    return state.replace(
+        proto=jnp.where(pruned[:, None], rec.proto, state.proto),
+        pweight=jnp.where(pruned, rec.pweight, state.pweight),
+    ), order
 
 
 @functools.partial(jax.jit, static_argnames=("slot",))
@@ -144,6 +188,7 @@ def clear_class(state: MemoryState, slot: int) -> MemoryState:
         emb=state.emb.at[slot].set(0.0),
         count=state.count.at[slot].set(0),
         proto=state.proto.at[slot].set(0.0),
+        pweight=state.pweight.at[slot].set(0.0),
     )
     return state
 
@@ -214,7 +259,9 @@ class PrototypeMemory:
             emb = emb.at[:C, :E].set(self.state.emb)
             count = jnp.zeros((C_new,), jnp.int32).at[:C].set(self.state.count)
             proto = jnp.zeros((C_new, D), jnp.float32).at[:C].set(self.state.proto)
-            self.state = MemoryState(emb=emb, count=count, proto=proto)
+            pweight = jnp.zeros((C_new,), jnp.float32).at[:C].set(self.state.pweight)
+            self.state = MemoryState(emb=emb, count=count, proto=proto,
+                                     pweight=pweight)
             logger.debug(f"Memory grown to C={C_new}, E={E_new}")
 
     def _slot(self, label: str) -> int:
@@ -442,18 +489,26 @@ class PrototypeMemory:
         }
 
     def restore_class(self, label: str, texts: List[str], embs: np.ndarray,
-                      prototype: Optional[np.ndarray] = None):
+                      prototype: Optional[np.ndarray] = None,
+                      prototype_weight: Optional[float] = None):
         """Load-path restore: install examples and (optionally) an exact saved
         prototype (reference classifier.py:879-895).
 
         The reference restores prototypes from the checkpoint rather than
         recomputing from the (lossy, k-means-selected) saved examples, so
-        predictions stay consistent across save/load.
+        predictions stay consistent across save/load.  ``prototype_weight``
+        is how many embeddings the saved prototype aggregates (the
+        classifier passes its persisted ``training_history`` count): future
+        ``add_batch`` running-mean updates fold new examples in at that
+        weight instead of flattening the prototype onto the ~5 surviving
+        representative rows.
         """
         with self._write_lock:
-            return self._restore_class_locked(label, texts, embs, prototype)
+            return self._restore_class_locked(label, texts, embs, prototype,
+                                              prototype_weight)
 
-    def _restore_class_locked(self, label, texts, embs, prototype):
+    def _restore_class_locked(self, label, texts, embs, prototype,
+                              prototype_weight=None):
         slot = self._slot(label)
         n = len(texts)
         self._ensure_capacity(len(self.label_to_index), max(n, 1))
@@ -483,8 +538,10 @@ class PrototypeMemory:
             new_proto = jnp.mean(jnp.asarray(embs[:n], jnp.float32), axis=0)
         else:
             new_proto = self.state.proto[slot]
+        weight = float(max(prototype_weight or 0, n))
         self.state = self.state.replace(
             proto=self.state.proto.at[slot].set(new_proto),
+            pweight=self.state.pweight.at[slot].set(weight),
         )
 
     # -- strategic prototypes (reference memory.py:247-295) -------------

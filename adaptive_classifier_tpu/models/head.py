@@ -84,7 +84,16 @@ def head_forward(
             dropout_rng, sub = jax.random.split(dropout_rng)
             keep = jax.random.bernoulli(sub, 1.0 - DROPOUT_RATE, h.shape)
             h = jnp.where(keep, h / (1.0 - DROPOUT_RATE), 0.0)
-    return h @ params["out"]["w"] + params["out"]["b"]
+    logits = h @ params["out"]["w"] + params["out"]["b"]
+    if "skip" in params:
+        # per-class linear probe on the RAW embedding (zero for classes that
+        # never trained it).  Exists for classes added incrementally after a
+        # lossy load: the frozen trunk's first layer never saw the new
+        # class's discriminative input coordinates (they were absent from
+        # the build-time data), so no function of h(x) can separate the new
+        # class — but a linear probe on x itself can.
+        logits = logits + x @ params["skip"]["w"]
+    return logits
 
 
 def masked_probs(logits: jax.Array, active: jax.Array) -> jax.Array:
@@ -111,7 +120,21 @@ def grow_capacity(params: HeadParams, new_capacity: int, key: jax.Array,
     fresh = _xavier_uniform(key, fan_in, max(num_classes, 1), (fan_in, new_capacity))
     new_w = fresh.at[:, :old_cap].set(out["w"])
     new_b = jnp.zeros((new_capacity,), jnp.float32).at[:old_cap].set(out["b"])
-    return {**params, "out": {"w": new_w, "b": new_b}}
+    grown = {**params, "out": {"w": new_w, "b": new_b}}
+    if "skip" in params:
+        sw = params["skip"]["w"]
+        grown["skip"] = {"w": jnp.zeros((sw.shape[0], new_capacity),
+                                        jnp.float32).at[:, :old_cap].set(sw)}
+    return grown
+
+
+def ensure_skip(params: HeadParams, input_dim: int) -> HeadParams:
+    """Add a zero skip-probe block if absent (zero ⇒ function unchanged)."""
+    if "skip" in params:
+        return params
+    cap = params["out"]["w"].shape[1]
+    return {**params,
+            "skip": {"w": jnp.zeros((input_dim, cap), jnp.float32)}}
 
 
 def head_l2_sq_diff(params: HeadParams, old: HeadParams) -> jax.Array:
@@ -137,6 +160,13 @@ def to_torch_state_dict(params: HeadParams, num_classes: int) -> Dict[str, np.nd
         idx += 3  # Linear, ReLU, Dropout
     sd[f"model.{idx}.weight"] = np.asarray(params["out"]["w"]).T[:num_classes].copy()
     sd[f"model.{idx}.bias"] = np.asarray(params["out"]["b"])[:num_classes].copy()
+    if "skip" in params:
+        skip = np.asarray(params["skip"]["w"]).T[:num_classes]
+        if np.any(skip):
+            # written only when nonzero: a checkpoint that never used the
+            # lossy-replay incremental path stays byte-compatible with the
+            # reference's strict nn.Sequential load (classifier.py:897-906)
+            sd["skip.weight"] = skip.copy()
     return sd
 
 
@@ -197,7 +227,8 @@ def from_torch_state_dict(
 
     Returns (params, hidden_dims).  Output columns beyond the saved class
     count are zero — they are masked off until classes grow into them."""
-    indices = sorted({int(k.split(".")[1]) for k in sd if k.endswith(".weight")})
+    indices = sorted({int(k.split(".")[1]) for k in sd
+                      if k.endswith(".weight") and k.startswith("model.")})
     hidden = []
     hidden_dims = []
     for i in indices[:-1]:
@@ -211,4 +242,9 @@ def from_torch_state_dict(
     cap = max(class_capacity, n)
     out_w = jnp.zeros((w.shape[0], cap), jnp.float32).at[:, :n].set(w)
     out_b = jnp.zeros((cap,), jnp.float32).at[:n].set(b)
-    return {"hidden": hidden, "out": {"w": out_w, "b": out_b}}, hidden_dims
+    params: HeadParams = {"hidden": hidden, "out": {"w": out_w, "b": out_b}}
+    if "skip.weight" in sd:
+        sw = np.asarray(sd["skip.weight"], np.float32).T      # [D_in, n]
+        params["skip"] = {"w": jnp.zeros((sw.shape[0], cap),
+                                         jnp.float32).at[:, :n].set(sw)}
+    return params, hidden_dims

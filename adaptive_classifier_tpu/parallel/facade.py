@@ -56,6 +56,7 @@ class ShardedPrototypeMemory(PrototypeMemory):
             emb=jax.device_put(value.emb, specs["emb"]),
             count=jax.device_put(value.count, specs["count"]),
             proto=jax.device_put(value.proto, specs["proto"]),
+            pweight=jax.device_put(value.pweight, specs["pweight"]),
         )
 
     def _use_shard_knn(self) -> bool:

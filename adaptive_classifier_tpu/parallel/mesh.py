@@ -57,6 +57,7 @@ def memory_shardings(mesh: Mesh):
         "emb": NamedSharding(mesh, P("tp", None, None)),
         "count": NamedSharding(mesh, P("tp")),
         "proto": NamedSharding(mesh, P("tp", None)),
+        "pweight": NamedSharding(mesh, P("tp")),
     }
 
 

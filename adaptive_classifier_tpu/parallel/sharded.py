@@ -122,6 +122,7 @@ def shard_state(mesh: Mesh, memory: MemoryState, head_params) -> Tuple[MemorySta
         emb=jax.device_put(memory.emb, mspec["emb"]),
         count=jax.device_put(memory.count, mspec["count"]),
         proto=jax.device_put(memory.proto, mspec["proto"]),
+        pweight=jax.device_put(memory.pweight, mspec["pweight"]),
     )
     hspec = head_shardings(mesh, head_params)
     head_params = jax.tree.map(

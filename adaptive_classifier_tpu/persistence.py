@@ -283,7 +283,13 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         )
         proto = tensors.get(f"prototype_{label}")
         if texts or proto is not None:
-            clf.memory.restore_class(label, texts, embs, prototype=proto)
+            # the saved prototype aggregates every example the class ever
+            # trained on — training_history carries that count across the
+            # lossy (5 representative rows/class) save, so future adds
+            # update it as a weighted running mean (memory.add_batch)
+            clf.memory.restore_class(
+                label, texts, embs, prototype=proto,
+                prototype_weight=clf.training_history.get(label, 0))
 
     # restore head (classifier.py:897-906)
     head_sd = {

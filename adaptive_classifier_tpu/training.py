@@ -101,6 +101,38 @@ def _bce_loss(params, x, y_multihot, vmask, active, rng):
     return jnp.sum(elems) / denom
 
 
+def _distill_loss(params, x, old_logits, vmask, old_active, rng, T):
+    """Learning-without-Forgetting logit distillation over OLD classes.
+
+    ``KL(softmax(old/T) ‖ softmax(new/T)) · T²`` averaged over valid rows —
+    anchors the retrained head's old-class behavior to the frozen pre-add
+    head on the replay samples.  Needed because checkpoints are lossy by
+    design (5 representative examples/class survive a save/load round-trip,
+    reference classifier.py:559-566): after a load, incremental new-class
+    training sees only ~5 replay rows per old class, and CE over so few
+    rows lets the head collapse onto the new class (measured: a loaded
+    4-class zoo checkpoint + 3 new-class examples drove the head's
+    old-class mass from 0.475 to 0.005 on an unambiguous old-class query —
+    28.6% relative accuracy drop).  The reference's EWC cannot prevent this
+    (its penalty is inert — see ``_train_new_classes``), and λ∈{5..400} on
+    the live penalty was measured irrelevant (docs/architecture.md
+    deviation #6); function-space anchoring is the fix.
+
+    Uses the same dropout rng/mode as the CE term so the two forwards CSE
+    into one.
+    """
+    logits = head_forward(params, x, dropout_rng=rng, train=True)
+    mask = old_active[None, :]
+    lp_new = jax.nn.log_softmax(jnp.where(mask, logits / T, NEG_INF), axis=-1)
+    p_old = jax.nn.softmax(jnp.where(mask, old_logits / T, NEG_INF), axis=-1)
+    kl = jnp.sum(
+        jnp.where(mask, p_old * (jnp.log(jnp.clip(p_old, 1e-9, 1.0)) - lp_new), 0.0),
+        axis=-1,
+    )
+    n = jnp.maximum(jnp.sum(vmask), 1.0)
+    return jnp.sum(kl * vmask) * (T * T) / n
+
+
 def ewc_penalty(params, ewc_old, ewc_fisher, ewc_lambda, batch_n):
     """λ·Σ F·(θ−θ_old)² / batch_size (reference ewc.py:96-115)."""
     sq = sum(
@@ -123,7 +155,8 @@ class TrainResult(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("loss_type", "max_epochs", "patience", "use_scheduler", "has_ewc"),
+    static_argnames=("loss_type", "max_epochs", "patience", "use_scheduler",
+                     "has_ewc", "has_distill", "has_grad_mask"),
 )
 def fit_head(
     params,
@@ -141,6 +174,13 @@ def fit_head(
     ewc_old=None,
     ewc_fisher=None,
     ewc_lambda: float = 0.0,
+    has_distill: bool = False,
+    distill_logits=None,     # [N_cap, C_cap] frozen old-head logits
+    distill_active=None,     # [C_cap] bool — OLD class slots
+    distill_lambda: float = 0.0,
+    distill_temperature: float = 2.0,
+    has_grad_mask: bool = False,
+    grad_mask=None,          # params-shaped 0/1 floats — 0 freezes a weight
 ) -> TrainResult:
     """One fused device program: the full multi-epoch training loop."""
     N = emb.shape[0]
@@ -172,12 +212,25 @@ def fit_head(
                 if has_ewc:
                     base = base + ewc_penalty(p, ewc_old, ewc_fisher, ewc_lambda,
                                               jnp.sum(v))
+                if has_distill:
+                    base = base + distill_lambda * _distill_loss(
+                        p, x, distill_logits[idx], v, distill_active, drng,
+                        distill_temperature)
                 return base
 
             loss, grads = jax.value_and_grad(total_loss)(params)
+            if has_grad_mask:
+                grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
             grads = clip_global_norm(grads, 1.0)
-            params, opt = adamw_update(params, grads, opt, lr * lr_scale)
-            return params, opt, loss_sum + loss, rng_
+            new_params, opt = adamw_update(params, grads, opt, lr * lr_scale)
+            if has_grad_mask:
+                # AdamW weight decay moves even zero-grad weights — restore
+                # frozen entries exactly (a frozen old-class row must stay
+                # bit-identical, that is the whole point of the mask)
+                new_params = jax.tree.map(
+                    lambda n, p, m: jnp.where(m > 0, n, p),
+                    new_params, params, grad_mask)
+            return new_params, opt, loss_sum + loss, rng_
 
         params, opt, loss_sum, _ = jax.lax.fori_loop(
             0, n_batches, batch_step, (params, opt, jnp.zeros(()), brng)
