@@ -107,6 +107,11 @@ def main():
                          "manifest (informational; the committed checkpoint "
                          "stays frozen so the repo carries no per-entry "
                          "encoder weights); 0 disables")
+    ap.add_argument("--lexical-dim", type=int, default=8192,
+                    help="hashed TF-IDF lexical channel width (lexical.py; "
+                         "0 = dense encoder only). Measured: +14-23pp "
+                         "frozen on category/intents/emotions; the "
+                         "per-task weight resolves automatically")
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
@@ -117,10 +122,12 @@ def main():
     out_root = REPO / args.out
     out_root.mkdir(parents=True, exist_ok=True)
 
-    manifest = {"encoder": args.model, "classifiers": {}}
+    manifest = {"encoder": args.model, "classifiers": {},
+                "lexical_dim": args.lexical_dim}
+    cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else None
     for name, spec in dataset_specs().items():
         print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")
-        clf = AdaptiveClassifier(model)
+        clf = AdaptiveClassifier(model, config=cfg)
         clf.add_examples([t for t, _ in spec["train"]],
                          [l for _, l in spec["train"]])
         if args.finetune_steps > 0:
@@ -139,6 +146,8 @@ def main():
             "description": spec["description"],
             "n_train": len(spec["train"]), "n_test": len(spec["test"]),
         }
+        if clf.lexical is not None:
+            entry["lexical_weight"] = clf.lexical.weight
         print(f"    accuracy {acc:.4f}, saved {out}")
         if args.finetune_probe > 0 and args.finetune_steps == 0:
             # informational: what finetune_encoder reaches on this task

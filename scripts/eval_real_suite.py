@@ -81,6 +81,78 @@ def eval_new_class_preservation(model: str, finetune_steps: int = 0,
     }
 
 
+def eval_new_class_preservation_reference_protocol(model: str,
+                                                   seed: int = 42) -> dict:
+    """The reference's OWN issue-#53 protocol, faithfully reproduced
+    (reference tests/test_new_class_accuracy_preservation.py:84-198):
+    41 template-generated classes with 2-15 examples each, 3 new classes of
+    8-12 examples, the test set is a SUBSET OF THE TRAINING DATA (first 2
+    rows per class — reference :100-120), and accuracy uses
+    ``predict(text, k=1)`` (the per-label-weight full fusion).  The ≤10%
+    relative-drop bar is defined on THIS protocol; the held-out row above
+    is our stricter variant (unseen test split) and is reported alongside,
+    not in place of it."""
+    import random
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    rng = random.Random(seed)
+    templates = [
+        "this is a sample text about {}", "here we discuss the topic of {}",
+        "an example related to {}", "content describing {}",
+        "information about the subject {}", "details regarding {}",
+        "a statement concerning {}", "text that covers {}",
+        "material related to {}", "documentation about {}",
+        "analysis of {}", "research on {}", "study about {}",
+        "report on {}", "overview of {}",
+    ]
+
+    def make(prefix, n_classes, n_lo, n_hi, sparse_frac=0.0):
+        texts, labels = [], []
+        for ci in range(n_classes):
+            label = f"{prefix}_{ci:02d}"
+            name = f"{prefix} {ci:02d}"
+            if sparse_frac and rng.random() < sparse_frac:
+                n = rng.randint(2, 5)
+            else:
+                n = rng.randint(n_lo, n_hi)
+            for i in range(n):
+                t = rng.choice(templates).format(name)
+                if i:
+                    t += f" variation {i}"
+                texts.append(t)
+                labels.append(label)
+        return texts, labels
+
+    texts, labels = make("class", 41, 6, 15, sparse_frac=0.3)
+    new_texts, new_labels = make("new_class", 3, 8, 12)
+
+    clf = AdaptiveClassifier(model, seed=seed)
+    clf.add_examples(texts, labels)
+    by: dict = {}
+    for t, l in zip(texts, labels):
+        by.setdefault(l, []).append(t)
+    test = [(t, l) for l, ts in by.items() for t in ts[:2]]
+
+    def acc(rows):
+        preds = clf._predict_regular_batch([t for t, _ in rows], 1)
+        return sum(1 for (t, l), p in zip(rows, preds)
+                   if p and p[0][0] == l) / len(rows)
+
+    before = acc(test)
+    clf.add_examples(new_texts, new_labels)
+    after = acc(test)
+    new_acc = acc(list(zip(new_texts[:10], new_labels[:10])))
+    return {
+        "old_class_acc_before": round(before, 4),
+        "old_class_acc_after": round(after, 4),
+        "relative_drop": round((before - after) / max(before, 1e-9), 4),
+        "new_class_acc": round(new_acc, 4),
+        "n_old_classes": 41,
+        "n_new_classes": 3,
+    }
+
+
 def _numeric_leaves(obj, prefix=""):
     """Flatten nested dicts to {dotted.path: number} for spread stats."""
     out = {}
@@ -195,6 +267,31 @@ def main():
             "negative result about the mechanism's scope."),
     }
 
+    signature = run_json("eval_strategic.py",
+                         ["--model", "checkpoints/ac-tiny",
+                          "--data", "synthetic", "--seed", str(s0)],
+                         tmp / "strategic_signature.json")
+    report["strategic_gaming_signature"] = {
+        "ours": signature,
+        "note": (
+            "The reference's published headline signature (README.md:60, "
+            "-20% -> 0% robustness drop under simulated gaming), reproduced "
+            "under its OWN protocol (StrategicEvaluator.evaluate_robustness, "
+            "reference strategic.py:284-358; gaming levels 0/0.5/1.0, cost "
+            "model matched to strategic training). The signature lives in "
+            "the borderline-head regime, so this row deliberately pins the "
+            "weakest encoder (ac-tiny) on the synthetic set: regular "
+            "robustness_score ~0.19 vs strategic ~0.0. With the flagship "
+            "ac-base the head is already unfoolable on these sets — both "
+            "scores ~0 (see the real-data rows above) — which is the "
+            "honest flip side: a stronger embedding space removes the "
+            "vulnerability the strategic mechanism exists to patch."),
+        "reference_baseline": {
+            "regular_robustness_drop_pct": 20.0,
+            "strategic_robustness_drop_pct": 0.0,
+        },
+    }
+
     router_by_seed = [
         run_json("eval_router.py",
                  ["--model", model, "--adapt", "--seed", str(s)],
@@ -236,16 +333,59 @@ def main():
         },
     }
 
+    # lexical channel ablation (beyond-reference; lexical.py): frozen
+    # nearest-prototype+head accuracy per axis with the channel off vs on,
+    # plus the auto-resolved per-task weight.  The reference has no
+    # counterpart — its quality is capped by the frozen encoder.
+    from adaptive_classifier_tpu import AdaptiveClassifier as _AC
+
+    lex_rows = {}
+    for ds in ["sentiment", "category", "emotions", "topic", "intents"]:
+        blob = json.loads((REPO / "data" / f"{ds}.json").read_text())
+        tr = [(t, l) for l, ts in blob["train"].items() for t in ts]
+        te = [(t, l) for l, ts in blob["test"].items() for t in ts]
+        row = {}
+        for tag, cfg in [("dense_only", None),
+                         ("with_lexical", {"lexical_dim": 8192})]:
+            c = _AC(model, seed=s0, config=cfg)
+            c.add_examples([t for t, _ in tr], [l for _, l in tr])
+            preds = c.predict_batch([t for t, _ in te], k=1)
+            row[tag] = round(sum(
+                1 for (t, l), p in zip(te, preds) if p and p[0][0] == l
+            ) / len(te), 4)
+            if cfg:
+                row["lexical_weight"] = c.lexical.weight
+        lex_rows[ds] = row
+    report["lexical_ablation"] = {
+        "ours": lex_rows,
+        "note": ("hashed TF-IDF channel (lexical_dim=8192, weight=auto) "
+                 "vs dense encoder only, frozen, k=1 predict_batch; "
+                 "the zoo ships with the channel on"),
+    }
+
     pres_by_seed = [eval_new_class_preservation(model, seed=s) for s in seeds]
+    ref_pres_by_seed = [
+        eval_new_class_preservation_reference_protocol(model, seed=s)
+        for s in seeds]
     report["new_class_preservation"] = {
-        "ours": pres_by_seed[0],
-        "ours_seed_spread": seed_spread(pres_by_seed),
-        "ours_finetuned": eval_new_class_preservation(model,
-                                                      finetune_steps=150,
-                                                      seed=s0),
+        "reference_protocol": ref_pres_by_seed[0],
+        "reference_protocol_seed_spread": seed_spread(ref_pres_by_seed),
+        "ours_heldout_protocol": pres_by_seed[0],
+        "ours_heldout_seed_spread": seed_spread(pres_by_seed),
+        "ours_heldout_finetuned": eval_new_class_preservation(
+            model, finetune_steps=150, seed=s0),
         "reference_baseline": {
             "note": "issue #53 regression threshold "
-                    "(tests/test_new_class_accuracy_preservation.py:188-198)",
+                    "(tests/test_new_class_accuracy_preservation.py:188-198). "
+                    "The reference's own test measures the drop on a SUBSET "
+                    "OF THE TRAINING DATA (reference :100-120) with "
+                    "predict(k=1); 'reference_protocol' reproduces that "
+                    "faithfully (template classes, test⊂train). "
+                    "'ours_heldout_*' is our STRICTER variant — an unseen "
+                    "authored test split over the real intents data — where "
+                    "boundary-borderline queries the replay store never saw "
+                    "dominate the drop; the reference bar is not defined on "
+                    "that protocol.",
             "max_relative_drop": 0.10,
         },
     }

@@ -229,7 +229,12 @@ def main():
     if strategic.strategic_evaluator is not None:
         evaluator = strategic.strategic_evaluator
         texts_c = [d["text"] for d in clean]
-        y = jnp.asarray([strategic.label_to_id[d["label"]] for d in clean])
+        # labels MUST use the regular classifier's own mapping: the two
+        # classifiers can assign different label ids (one-shot add_examples
+        # sorts the new labels; the strategic classifier's chunked feed sees
+        # them in arrival order) — mixing mappings flipped this row to
+        # exactly 1-accuracy on the 2-way set (found round 3)
+        y = jnp.asarray([regular.label_to_id[d["label"]] for d in clean])
         emb = regular._embed_device(texts_c)
         gaming["regular"] = {
             k: round(v, 4) for k, v in evaluator.evaluate_robustness(
