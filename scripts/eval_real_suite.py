@@ -34,8 +34,24 @@ def run_json(script: str, args: list[str], out_file: Path) -> dict:
     # exporting PYTHONPATH instead breaks the TPU plugin's helper process
     cmd = [sys.executable, str(REPO / "run_script.py"),
            Path(script).stem, "--json-out", str(out_file)] + args
+    # AC_EVAL_REUSE_S=<seconds>: reuse a row written by an identical
+    # command within the window (the full suite takes hours on a single
+    # host core during a TPU-tunnel outage — an interrupted run should not
+    # forfeit its finished rows).  The sidecar records the exact command so
+    # a changed flag or script never reuses a stale row.
+    import os
+    import time
+
+    window = float(os.environ.get("AC_EVAL_REUSE_S", "0") or 0)
+    sidecar = out_file.with_suffix(out_file.suffix + ".cmd")
+    if (window > 0 and out_file.exists() and sidecar.exists()
+            and sidecar.read_text() == " ".join(cmd)
+            and time.time() - out_file.stat().st_mtime < window):
+        print(":: reuse", out_file.name, flush=True)
+        return json.loads(out_file.read_text())
     print("::", " ".join(cmd), flush=True)
     subprocess.run(cmd, check=True, cwd=REPO)
+    sidecar.write_text(" ".join(cmd))
     return json.loads(out_file.read_text())
 
 
