@@ -210,10 +210,35 @@ def main():
                     help="comma-separated classifier seeds; frozen-encoder "
                          "rows run per-seed and report mean±spread, the "
                          "slow finetuned rows run on the first seed only")
+    ap.add_argument("--carry-finetuned", default=None,
+                    help="path to a prior EVAL json: copy its encoder-"
+                         "finetuned rows (annotated with a carried_note) "
+                         "instead of recomputing them — the finetuned rows "
+                         "cost ~2h each on a single host core during a "
+                         "TPU-tunnel outage while the frozen rows stay "
+                         "fresh")
     args = ap.parse_args()
 
     seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
     s0 = seeds[0]
+
+    carry = None
+    if args.carry_finetuned:
+        carry = json.loads(Path(args.carry_finetuned).read_text())
+
+    def ft_row(section: str, key: str, compute):
+        """Encoder-finetuned row: recompute, or carry from a prior EVAL."""
+        if carry is not None:
+            row = carry.get(section, {}).get(key)
+            if row is not None:
+                row = dict(row)
+                row["carried_note"] = (
+                    f"carried unchanged from {args.carry_finetuned} "
+                    "(TPU-measured, pre-data-growth vintage) — finetuned "
+                    "rows were not re-run on the host-CPU fallback")
+                print(f":: carry {section}.{key}", flush=True)
+                return row
+        return compute()
 
     model = args.model
     if not Path(model).exists() and (REPO / model).exists():
@@ -236,15 +261,16 @@ def main():
                  tmp / f"strategic_s{s}.json")
         for s in seeds]
     strategic = strategic_by_seed[0]
-    strategic_ft = run_json("eval_strategic.py",
-                            ["--model", model, "--finetune-steps", "150",
-                             "--seed", str(s0)],
-                            tmp / "strategic_ft.json")
-    strategic_typo = run_json(
+    strategic_ft = ft_row("strategic", "ours_finetuned", lambda: run_json(
         "eval_strategic.py",
-        ["--model", model, "--finetune-steps", "150",
-         "--finetune-augment", "typo", "--seed", str(s0)],
-        tmp / "strategic_typo.json")
+        ["--model", model, "--finetune-steps", "150", "--seed", str(s0)],
+        tmp / "strategic_ft.json"))
+    strategic_typo = ft_row(
+        "strategic", "ours_finetuned_typo_augment", lambda: run_json(
+            "eval_strategic.py",
+            ["--model", model, "--finetune-steps", "150",
+             "--finetune-augment", "typo", "--seed", str(s0)],
+            tmp / "strategic_typo.json"))
     report["strategic"] = {
         "ours": strategic,
         "ours_seed_spread": seed_spread(strategic_by_seed),
@@ -332,11 +358,11 @@ def main():
                  tmp / f"halluc_s{s}.json")
         for s in seeds]
     halluc = halluc_by_seed[0]
-    halluc_ft = run_json("train_hallucination_detector.py",
-                         ["--model", model, "--finetune-steps", "150",
-                          "--seed", str(s0),
-                          "--out", str(tmp / "halluc_model_ft")],
-                         tmp / "halluc_ft.json")
+    halluc_ft = ft_row("hallucination", "ours_finetuned", lambda: run_json(
+        "train_hallucination_detector.py",
+        ["--model", model, "--finetune-steps", "150", "--seed", str(s0),
+         "--out", str(tmp / "halluc_model_ft")],
+        tmp / "halluc_ft.json"))
     report["hallucination"] = {
         "ours": halluc,
         "ours_seed_spread": seed_spread(halluc_by_seed),
@@ -388,8 +414,10 @@ def main():
         "reference_protocol_seed_spread": seed_spread(ref_pres_by_seed),
         "ours_heldout_protocol": pres_by_seed[0],
         "ours_heldout_seed_spread": seed_spread(pres_by_seed),
-        "ours_heldout_finetuned": eval_new_class_preservation(
-            model, finetune_steps=150, seed=s0),
+        "ours_heldout_finetuned": ft_row(
+            "new_class_preservation", "ours_heldout_finetuned",
+            lambda: eval_new_class_preservation(
+                model, finetune_steps=150, seed=s0)),
         "reference_baseline": {
             "note": "issue #53 regression threshold "
                     "(tests/test_new_class_accuracy_preservation.py:188-198). "
