@@ -112,6 +112,11 @@ def main():
                          "0 = dense encoder only). Measured: +14-23pp "
                          "frozen on category/intents/emotions; the "
                          "per-task weight resolves automatically")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated dataset names: rebuild/probe just "
+                         "these entries and merge into the existing "
+                         "manifest (selective finetune probes cost ~40 min "
+                         "per dataset on a single host core)")
     args = ap.parse_args()
 
     from adaptive_classifier_tpu import AdaptiveClassifier
@@ -124,8 +129,19 @@ def main():
 
     manifest = {"encoder": args.model, "classifiers": {},
                 "lexical_dim": args.lexical_dim}
+    specs = dataset_specs()
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in specs]
+        if unknown:
+            raise SystemExit(f"unknown dataset(s): {unknown}; "
+                             f"have {sorted(specs)}")
+        specs = {n: specs[n] for n in wanted}
+        prior = out_root / "manifest.json"
+        if prior.exists():   # merge into the existing manifest
+            manifest = json.loads(prior.read_text())
     cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else None
-    for name, spec in dataset_specs().items():
+    for name, spec in specs.items():
         print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")
         clf = AdaptiveClassifier(model, config=cfg)
         clf.add_examples([t for t, _ in spec["train"]],
