@@ -91,7 +91,8 @@ class AdaptiveClassifier:
             from .lexical import HashedTfidf
 
             self.lexical = HashedTfidf(self.config.lexical_dim,
-                                       self.config.lexical_weight)
+                                       self.config.lexical_weight,
+                                       self.config.lexical_grams)
         self.embedding_dim = self.encoder.hidden_size + (
             self.lexical.dim if self.lexical is not None else 0)
 
@@ -174,11 +175,12 @@ class AdaptiveClassifier:
         )
         lex = None
         if self.lexical is not None:
-            if not self.lexical.fitted or isinstance(self.lexical.weight, str):
+            if not self.lexical.ready:
                 raise RuntimeError(
-                    "lexical channel not ready: the IDF table and channel "
-                    "weight are fitted on the first add_examples() batch — "
-                    "embed/predict need at least one add_examples first"
+                    "lexical channel not ready: the IDF table, gram kind "
+                    "and channel weight are fitted on the first "
+                    "add_examples() batch — embed/predict need at least "
+                    "one add_examples first"
                 )
             lex = self.lexical.transform(padded)
         return ids, mask, lex
@@ -237,32 +239,32 @@ class AdaptiveClassifier:
             [enc_dev * s, jnp.asarray(lex) * (w * s)], axis=1)
 
     def _ensure_lexical_ready(self, texts: List[str], labels: List[str]):
-        """First-batch lexical setup (no-op afterwards): fit the IDF table,
-        then resolve weight="auto" by the nearest-prototype sweep on the
-        batch (lexical.HashedTfidf.resolve_weight).  A single-class first
-        batch cannot be swept — it falls back to w=1.0 (documented)."""
-        if self.lexical is None or (
-                self.lexical.fitted
-                and not isinstance(self.lexical.weight, str)):
+        """First-batch lexical setup (no-op afterwards): resolve
+        grams="auto"/weight="auto" by the train-fold ridge-probe sweep and
+        fit the IDF table (lexical.HashedTfidf.resolve_config).  A
+        single-class first batch cannot be swept — it falls back to word
+        grams at w=1.0 (documented)."""
+        if self.lexical is None or self.lexical.ready:
             return
-        if not self.lexical.fitted:
-            self.lexical.fit(texts)
-        if isinstance(self.lexical.weight, str):
-            uniq = sorted(set(labels))
-            if len(uniq) < 2:
+        uniq = sorted(set(labels))
+        if len(uniq) < 2:
+            if self.lexical.grams == "auto":
+                self.lexical.grams = "word"
+            if isinstance(self.lexical.weight, str):
                 self.lexical.weight = 1.0
-            else:
-                # dense encoder parts only (composition needs the weight)
-                saved, self.lexical = self.lexical, None
-                try:
-                    enc = self._embed_uncached(texts)
-                finally:
-                    self.lexical = saved
-                lex = self.lexical.transform(texts)
-                lid = {l: i for i, l in enumerate(uniq)}
-                w = self.lexical.resolve_weight(
-                    enc, lex, [lid[l] for l in labels])
-                logger.info(f"lexical channel weight resolved to {w}")
+            if not self.lexical.fitted:
+                self.lexical.fit(texts)
+        else:
+            # dense encoder parts only (composition needs the weight)
+            saved, self.lexical = self.lexical, None
+            try:
+                enc = self._embed_uncached(texts)
+            finally:
+                self.lexical = saved
+            lid = {l: i for i, l in enumerate(uniq)}
+            self.lexical.resolve_config(enc, texts, [lid[l] for l in labels])
+            logger.info(f"lexical channel resolved to grams="
+                        f"{self.lexical.grams} w={self.lexical.weight}")
         if getattr(self, "_emb_cache", None) is not None:
             self._emb_cache = None  # defensive: no stale pre-lexical rows
 

@@ -185,6 +185,11 @@ class ModelConfig:
         #: sweep on the first add_examples batch (task-dependent: measured
         #: category wants 4.0, topic 0.5; the sweep includes 0 = off)
         self.lexical_weight = g("lexical_weight", "auto")
+        #: lexical gram kind: "word" (uni+bigrams), "char" (3-5-grams,
+        #: typo-robust — a misspelled word keeps most of its grams),
+        #: "wordchar" (both), or "auto" = train-fold ridge-probe sweep on
+        #: the first batch alongside the weight (lexical.resolve_config)
+        self.lexical_grams = g("lexical_grams", "auto")
         #: post-incremental prototype recalibration (deviation #7): after the
         #: incremental new-class path, fit a per-class similarity penalty on
         #: the just-added classes by an exact selection-aware sweep over the
@@ -237,6 +242,7 @@ class ModelConfig:
             "prototype_recalibration": self.prototype_recalibration,
             "lexical_dim": self.lexical_dim,
             "lexical_weight": self.lexical_weight,
+            "lexical_grams": self.lexical_grams,
         })
         return d
 

@@ -164,6 +164,7 @@ def main():
         }
         if clf.lexical is not None:
             entry["lexical_weight"] = clf.lexical.weight
+            entry["lexical_grams"] = clf.lexical.grams
         print(f"    accuracy {acc:.4f}, saved {out}")
         if args.finetune_probe > 0 and args.finetune_steps == 0:
             # informational: what finetune_encoder reaches on this task

@@ -397,6 +397,7 @@ def main():
             ) / len(te), 4)
             if cfg:
                 row["lexical_weight"] = c.lexical.weight
+                row["lexical_grams"] = c.lexical.grams
         lex_rows[ds] = row
     report["lexical_ablation"] = {
         "ours": lex_rows,

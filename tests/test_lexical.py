@@ -110,6 +110,88 @@ def test_resolve_weight_grid_contains_off():
 
 
 # ---------------------------------------------------------------------------
+# gram kinds (round 3): char 3-5-grams + auto gram-type selection
+# ---------------------------------------------------------------------------
+
+
+def test_char_grams_shape_and_typo_overlap():
+    """A one-letter typo must keep most char grams (the robustness the
+    kind exists for) while losing the word gram entirely."""
+    from adaptive_classifier_tpu.lexical import _grams
+
+    clean = set(_grams("a wonderful movie", "char"))
+    typo = set(_grams("a wonderfull movie", "char"))
+    overlap = len(clean & typo) / len(clean)
+    assert overlap > 0.6
+    w_clean = set(_grams("a wonderful movie", "word"))
+    w_typo = set(_grams("a wonderfull movie", "word"))
+    assert "wonderful" in w_clean and "wonderful" not in w_typo
+
+
+def test_wordchar_is_union():
+    from adaptive_classifier_tpu.lexical import _grams
+
+    t = "quick brown fox"
+    both = _grams(t, "wordchar")
+    assert set(_grams(t, "word")) <= set(both)
+    assert set(_grams(t, "char")) <= set(both)
+
+
+def test_invalid_gram_kind_raises():
+    with pytest.raises(ValueError):
+        HashedTfidf(dim=128, grams="bigram")
+
+
+def test_fit_with_auto_grams_raises():
+    with pytest.raises(RuntimeError):
+        HashedTfidf(dim=128, grams="auto").fit(["x y"])
+
+
+def test_resolve_config_picks_char_for_subword_task():
+    """Classes that differ only by a word-internal affix are invisible to
+    word grams on held-out vocabulary — auto must select char grams."""
+    rng = np.random.default_rng(0)
+    stems = ["instal", "configur", "deploy", "renam", "restart", "resiz",
+             "rebuild", "reload", "migrat", "compil", "packag", "updat"]
+    # the class lives in a word-INTERNAL suffix of an otherwise held-out
+    # token: word grams on the val fold see only unseen tokens, char grams
+    # share the suffix grams across folds
+    texts = [s + suf for s in stems for suf in ("ingx", "edly")]
+    labels = [i % 2 for s in stems for i in range(2)]
+    enc = rng.normal(size=(len(texts), 16)).astype(np.float32)  # noise
+    enc /= np.linalg.norm(enc, axis=1, keepdims=True)
+    v = HashedTfidf(dim=1024, weight="auto", grams="auto")
+    v.resolve_config(enc, texts, labels)
+    assert v.ready
+    assert v.grams in ("char", "wordchar")
+    assert v.weight > 0.0
+
+
+def test_resolve_config_fixed_grams_sweeps_weight_only():
+    rng = np.random.default_rng(1)
+    texts = ["billing invoice charge", "invoice billing payment",
+             "shipping parcel delivery", "parcel shipping tracking"] * 3
+    labels = [0, 0, 1, 1] * 3
+    enc = rng.normal(size=(len(texts), 8)).astype(np.float32)
+    enc /= np.linalg.norm(enc, axis=1, keepdims=True)
+    v = HashedTfidf(dim=512, weight="auto", grams="word")
+    v.resolve_config(enc, texts, labels)
+    assert v.grams == "word" and v.ready
+
+
+def test_grams_persistence_roundtrip_and_backcompat():
+    v = HashedTfidf(dim=256, weight=2.0, grams="char").fit(["alpha beta"])
+    v2 = HashedTfidf.from_dict(v.to_dict())
+    assert v2.grams == "char"
+    q = ["alphabet gamma"]
+    np.testing.assert_array_equal(v.transform(q), v2.transform(q))
+    # pre-round-3 checkpoints have no "grams" key → word grams
+    d = v.to_dict()
+    del d["grams"]
+    assert HashedTfidf.from_dict(d).grams == "word"
+
+
+# ---------------------------------------------------------------------------
 # classifier integration (offline random encoder: the DENSE channel carries
 # no semantics, so lexically separable tasks isolate the lexical channel)
 # ---------------------------------------------------------------------------
