@@ -271,9 +271,20 @@ def main():
             ["--model", model, "--finetune-steps", "150",
              "--finetune-augment", "typo", "--seed", str(s0)],
             tmp / "strategic_typo.json"))
+    # production config (lexical channel on, gram kind + weight auto-
+    # selected on the train split) — the encoder-only rows above stay as
+    # the reference-matched mechanism comparison
+    strategic_lex_by_seed = [
+        run_json("eval_strategic.py",
+                 ["--model", model, "--seed", str(s),
+                  "--lexical-dim", "8192"],
+                 tmp / f"strategic_lex_s{s}.json")
+        for s in seeds]
     report["strategic"] = {
         "ours": strategic,
         "ours_seed_spread": seed_spread(strategic_by_seed),
+        "ours_lexical": strategic_lex_by_seed[0],
+        "ours_lexical_seed_spread": seed_spread(strategic_lex_by_seed),
         "ours_finetuned": strategic_ft,
         "ours_finetuned_typo_augment": strategic_typo,
         "reference_baseline": {

@@ -149,6 +149,12 @@ def main():
     ap.add_argument("--finetune-augment", default=None, choices=[None, "typo"],
                     help="augmentation for fine-tuning views (typo = "
                          "character-swap copies, hardens against typo attacks)")
+    ap.add_argument("--lexical-dim", type=int, default=0,
+                    help="hashed TF-IDF lexical channel width for BOTH "
+                         "arms (0 = dense encoder only, the reference-"
+                         "matched protocol; 8192 = the production zoo "
+                         "config with gram kind + weight auto-selected "
+                         "on the train split)")
     ap.add_argument("--seed", type=int, default=42,
                     help="classifier seed (head init + training shuffle); "
                          "the attack/data RNGs stay fixed so multi-seed runs "
@@ -174,7 +180,9 @@ def main():
     model = args.model
     if not Path(model).exists() and (REPO / model).exists():
         model = str(REPO / model)   # repo-relative checkpoint path
-    regular = AdaptiveClassifier(model, seed=args.seed)
+    lex_cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else {}
+    regular = AdaptiveClassifier(model, seed=args.seed,
+                                 config=dict(lex_cfg) or None)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
     if args.finetune_steps:
         regular.finetune_encoder(steps=args.finetune_steps,
@@ -186,6 +194,7 @@ def main():
         "cost_function_type": "linear",
         "cost_coefficients": make_cost_coefficients(args.cost_strategy, dim),
         "strategic_training_frequency": 2,
+        **lex_cfg,
     })
     # feed in chunks so the periodic strategic-training step actually runs
     # (reference classifier.py:196-197 fires every N add_examples calls)
@@ -249,6 +258,10 @@ def main():
         "seed": args.seed,
         "n_train": len(train), "n_clean": len(clean), "n_adv": len(adv),
         "cost_strategy": args.cost_strategy,
+        **({"lexical": {"dim": args.lexical_dim,
+                        "grams": regular.lexical.grams,
+                        "weight": regular.lexical.weight}}
+           if args.lexical_dim else {}),
         "gaming_protocol": gaming,
         "regular": {
             "clean_acc": accuracy(clean, batch_preds(regular, clean)),
