@@ -254,6 +254,12 @@ class AdaptiveClassifier:
                 self.lexical.weight = 1.0
             if not self.lexical.fitted:
                 self.lexical.fit(texts)
+        elif (self.lexical.grams != "auto"
+              and not isinstance(self.lexical.weight, str)):
+            # nothing to sweep — both knobs user-fixed; just fit the IDF,
+            # skipping the dense encoder pass + ridge probe whose result
+            # resolve_config would discard
+            self.lexical.fit(texts)
         else:
             # dense encoder parts only (composition needs the weight)
             saved, self.lexical = self.lexical, None

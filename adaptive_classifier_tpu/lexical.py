@@ -100,8 +100,10 @@ def _fold_machinery(labels: Sequence[int]):
     half_a = (order % 2 == 0)
     classes = np.asarray(sorted(set(int(c) for c in y)))
 
-    # cap the kernel solve for very large first batches
-    if int(half_a.sum()) > 2048 or int(half_b.sum()) > 2048:
+    # cap the kernel solve for very large first batches; a fold can exceed
+    # the cap while the batch has < 4096 rows (half_b also holds every
+    # singleton-class row), so clamp the sample size to the batch
+    if (int(half_a.sum()) > 2048 or int(half_b.sum()) > 2048) and len(y) > 4096:
         keep = np.zeros(len(y), bool)
         rng = np.random.default_rng(0)
         keep[rng.choice(len(y), size=4096, replace=False)] = True
@@ -287,7 +289,8 @@ class HashedTfidf:
             if best is None or acc > best[0] + 1e-9:
                 best = (acc, kind, w)
         _, self.grams, self.weight = best
-        self.fit(texts)
+        if not self.fitted:  # never refit a frozen IDF table
+            self.fit(texts)
 
     # -- persistence ---------------------------------------------------------
     def to_dict(self) -> Dict:

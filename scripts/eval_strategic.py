@@ -258,9 +258,14 @@ def main():
         "seed": args.seed,
         "n_train": len(train), "n_clean": len(clean), "n_adv": len(adv),
         "cost_strategy": args.cost_strategy,
+        # each arm resolves its own lexical config on its first batch (the
+        # strategic arm feeds chunked subsets), so record BOTH — they can
+        # legitimately diverge (ADVICE r3)
         **({"lexical": {"dim": args.lexical_dim,
                         "grams": regular.lexical.grams,
-                        "weight": regular.lexical.weight}}
+                        "weight": regular.lexical.weight,
+                        "strategic_grams": strategic.lexical.grams,
+                        "strategic_weight": strategic.lexical.weight}}
            if args.lexical_dim else {}),
         "gaming_protocol": gaming,
         "regular": {

@@ -306,3 +306,18 @@ def test_lexical_off_is_exact_reference_path():
     a = AdaptiveClassifier("prajjwal1/bert-tiny", config=base_cfg, seed=1)
     assert a.lexical is None
     assert a.embedding_dim == a.encoder.hidden_size
+
+
+def test_fold_cap_many_singleton_classes():
+    """A fold can exceed the 2048-row solve cap while the batch has fewer
+    than 4096 rows (half_b also holds every singleton-class row); the cap
+    must clamp to the batch instead of raising (ADVICE r3, medium)."""
+    from adaptive_classifier_tpu.lexical import _fold_machinery
+
+    labels = list(range(2500))            # 2500 singleton classes
+    half_a, half_b, fold_acc = _fold_machinery(labels)
+    assert int(half_b.sum()) == 2500      # all singletons land in half_b
+    f = np.random.default_rng(0).normal(size=(2500, 8)).astype(np.float32)
+    # the scorer itself must run without the ValueError from rng.choice
+    acc = fold_acc(f, half_b, half_a)
+    assert 0.0 <= acc <= 1.0
