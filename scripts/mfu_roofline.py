@@ -74,6 +74,11 @@ def main():
     ap.add_argument("--trace", default=None,
                     help="directory for a jax.profiler trace of 5 steps")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--attn-impl", default="fusedqkv",
+                    choices=["fusedqkv", "einsum", "oneshot", "flash"],
+                    help="attention path to measure; the shipped policy "
+                         "for S<1024 is the packed-QKV Pallas kernel "
+                         "(Encoder._attn_impl, adopted round 3)")
     args = ap.parse_args()
 
     cfg = EncoderConfig(vocab_size=30522)   # bert-base dims
@@ -85,7 +90,7 @@ def main():
     mask = jnp.ones((B, S), jnp.int32)
 
     embed = jax.jit(lambda p, i, m: embed_texts_device_int8(
-        p, i, m, cfg, jnp.bfloat16))
+        p, i, m, cfg, jnp.bfloat16, attn_impl=args.attn_impl))
     dt = timed(embed, qparams, ids, mask, iters=args.iters)
 
     led = flop_ledger(cfg, B, S)
@@ -143,11 +148,21 @@ def main():
     t_oproj = timed(jax.jit(lambda x, l: quant_matmul_int8(
         x, l["o_w.int8"], l["o_w.scale"], l["o_b"])), x, l0,
         iters=args.iters)
+
+    # the shipped attention: packed-QKV Pallas kernel straight off the
+    # projection's natural [B, S, 3D] layout (ops/attention_qkv.py)
+    from adaptive_classifier_tpu.ops.attention_qkv import attention_from_qkv
+
+    qkv = jnp.asarray(r.standard_normal((B, S, 3 * D)), jnp.bfloat16)
+    t_attn_fused = timed(
+        jax.jit(lambda qkv, m: attention_from_qkv(qkv, m, H, Dh)), qkv,
+        mask, iters=args.iters)
     ablation_ctx.__exit__(None, None, None)
 
     report = {
         "shape": {"B": B, "S": S, "dims": "bert-base"},
         "backend": jax.default_backend(),
+        "attn_impl": args.attn_impl,
         "ms_per_forward": round(dt * 1e3, 3),
         "q_per_s_device_only": round(B / dt, 1),
         "flops": {k: int(v) for k, v in led.items()},
@@ -159,12 +174,16 @@ def main():
             "qkv_int8": round(t_qkv * 1e3, 3),
             "o_proj_int8": round(t_oproj * 1e3, 3),
             "ffn_int8_fused": round(t_ffn * 1e3, 3),
-            "attention_bf16": round(t_attn * 1e3, 3),
+            "attention_bf16_einsum": round(t_attn * 1e3, 3),
+            "attention_fusedqkv": round(t_attn_fused * 1e3, 3),
         },
         # standalone parts × L vs the whole forward: the difference is
         # embedding lookup/LN/pooling plus (negative) cross-op overlap
+        # (uses the attention variant actually measured end-to-end)
         "ablation_sum_ms": round(
-            (t_qkv + t_oproj + t_ffn + t_attn) * cfg.num_layers * 1e3, 3),
+            (t_qkv + t_oproj + t_ffn
+             + (t_attn_fused if args.attn_impl == "fusedqkv" else t_attn))
+            * cfg.num_layers * 1e3, 3),
     }
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -38,7 +38,11 @@ _CODE_HINTS = re.compile(r"[{}<>=_`|\\]|::|def |import |self\.|https?://")
 _HTML_TAG = re.compile(r"<[^>]+>")
 _PY_COMMENT = re.compile(r"#\s?(.*)")
 _C_COMMENT = re.compile(r"//\s?(.*)")
+_C_BLOCK = re.compile(r"/\*.*?\*/", re.S)
+_C_BLOCK_STAR = re.compile(r"^\s*\*+\s?", re.M)
 _ALPHA_RUN = re.compile(r"[A-Za-z]{2,}")
+_DIGITS = re.compile(r"\d+")
+_WS_RUN = re.compile(r"\s+")
 
 
 def _prose_lines(text: str, min_len: int = 25, min_words: int = 4):
@@ -91,16 +95,60 @@ def _code_lines(text: str):
         yield line
 
 
+def _string_literal_lines(text: str):
+    """English prose inside ALL python string constants (docstrings, help
+    text, error messages, CLI `detailed_help` dicts …).  Strictly a
+    superset of the docstring stream — exact-line dedupe collapses the
+    overlap; the big wins are SDK help strings that are not docstrings."""
+    try:
+        tree = ast.parse(text)
+    except Exception:
+        return
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Constant) and isinstance(node.value, str)
+                and len(node.value) >= 25):
+            yield from _prose_lines(node.value)
+
+
+def _block_comment_lines(text: str):
+    """Prose in C/C++/JS /* … */ block comments (leading *s stripped)."""
+    for m in _C_BLOCK.finditer(text):
+        body = _C_BLOCK_STAR.sub("", m.group(0)[2:-2])
+        yield from _prose_lines(body)
+
+
+def _json_desc_lines(obj):
+    """Prose in description-like string fields of API schema JSON."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if (isinstance(v, str) and len(v) >= 25
+                    and k in ("description", "title", "documentation",
+                              "summary", "help", "detail")):
+                yield from _prose_lines(v)
+            else:
+                yield from _json_desc_lines(v)
+    elif isinstance(obj, list):
+        for v in obj:
+            yield from _json_desc_lines(v)
+
+
 def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
                  verbose: bool = True) -> list[str]:
     """Harvest machine-local English.
 
-    Streams (all exact-line-deduped, in priority order):
+    Streams (all near-dupe-deduped, in priority order):
       1. doc prose: site-packages / dist-packages / /usr/share/doc
          *.md/*.rst/*.txt, *.html (tag-stripped), *.gz changelogs
       2. python docstrings + ``#`` comments (one read per file)
-      3. C/C++ header and JS ``//`` comments
-      4. (optional, ``code_mb``) raw python code lines — secondary stream
+      3. ALL python string literals (round 4: SDK help text, error
+         messages — the google-cloud-sdk root alone is ~85 MB of prose)
+      4. C/C++ header and JS ``//`` line + ``/* */`` block comments
+      5. API-schema JSON description fields + gcloud YAML help prose
+      6. (optional, ``code_mb``) raw python code lines — secondary stream
+
+    Dedupe key is whitespace-collapsed lowercase with digit runs mapped
+    to ``0`` — templated SDK help ("version 1.2.3 of …") collapses to one
+    exemplar instead of re-epoching hundreds of near-identical lines.
     """
     import gzip
     import html as html_mod
@@ -110,6 +158,13 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
         "/usr/lib/python3/dist-packages",
         "/usr/share/doc",
     ) if Path(p).exists()]
+    # round 4: prose-heavy roots the round-3 harvest never touched
+    extra_py_roots = [p for p in (
+        "/usr/lib/google-cloud-sdk",
+        "/root/.cache/uv/archive-v0",
+    ) if Path(p).exists()]
+    c_roots = [p for p in (roots[0] if roots else None, "/usr/include")
+               if p and Path(p).exists()]
     lines: list[str] = []
     seen = set()
     budget = max_mb * 1e6
@@ -117,7 +172,7 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
     def add(it):
         nonlocal budget
         for line in it:
-            key = hash(line)
+            key = hash(_DIGITS.sub("0", _WS_RUN.sub(" ", line.lower())))
             if key in seen:
                 continue
             seen.add(key)
@@ -162,7 +217,7 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
             continue
     stage("html+changelogs")
 
-    py_files = [f for root in roots[:2]
+    py_files = [f for root in roots[:2] + extra_py_roots
                 for f in glob.iglob(f"{root}/**/*.py", recursive=True)]
     code_budget = code_mb * 1e6
     code: list[str] = []
@@ -175,6 +230,8 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
             return lines
         if not add(_comment_lines(txt, _PY_COMMENT)):
             return lines
+        if not add(_string_literal_lines(txt)):
+            return lines
         if code_budget > 0:
             for line in _code_lines(txt):
                 key = hash(line)
@@ -183,18 +240,38 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
                 seen.add(key)
                 code.append(line)
                 code_budget -= len(line)
-    stage("py docstrings+comments")
+    stage("py docstrings+comments+literals")
 
-    for root in roots[:1]:
+    for root in c_roots:
         for pat in ("**/*.h", "**/*.hpp", "**/*.c", "**/*.cc", "**/*.cpp",
                     "**/*.js"):
             for f in glob.iglob(f"{root}/{pat}", recursive=True):
                 try:
-                    if not add(_comment_lines(read(f), _C_COMMENT)):
+                    txt = read(f)
+                except Exception:
+                    continue
+                if not add(_comment_lines(txt, _C_COMMENT)):
+                    return lines
+                if not add(_block_comment_lines(txt)):
+                    return lines
+    stage("c/js comments")
+
+    for root in extra_py_roots[:1] + roots[:1]:
+        for f in glob.iglob(f"{root}/**/*.json", recursive=True):
+            try:
+                if not add(_json_desc_lines(json.load(open(
+                        f, encoding="utf-8", errors="ignore")))):
+                    return lines
+            except Exception:
+                continue
+        for pat in ("**/*.yaml", "**/*.yml"):
+            for f in glob.iglob(f"{root}/{pat}", recursive=True):
+                try:
+                    if not add(_prose_lines(read(f))):
                         return lines
                 except Exception:
                     continue
-    stage("c/js comments")
+    stage("json+yaml descriptions")
 
     if code:
         lines.extend(code)
@@ -300,6 +377,9 @@ def main():
     ap.add_argument("--code-mb", type=float, default=0.0,
                     help="secondary raw-code-line stream budget (MB)")
     ap.add_argument("--corpus-cache", default="/tmp/ac_corpus.npz")
+    ap.add_argument("--corpus-fraction", type=float, default=1.0,
+                    help="train on a seeded random row-subsample of the "
+                         "packed corpus (scaling-curve points)")
     ap.add_argument("--checkpoint-every", type=int, default=5000)
     ap.add_argument("--vocab-trainer", default="rust",
                     choices=["rust", "first-party"])
@@ -335,6 +415,12 @@ def main():
         packed = pack_examples(lines, vocab, args.seq)
         print(f"packed: {packed.shape}")
         np.savez_compressed(cache, packed=packed, vocab=np.asarray(vocab, object))
+
+    if args.corpus_fraction < 1.0:
+        rng = np.random.default_rng(0)
+        perm = rng.permutation(packed.shape[0])
+        packed = packed[np.sort(perm[: int(packed.shape[0] * args.corpus_fraction)])]
+        print(f"corpus fraction {args.corpus_fraction}: {packed.shape[0]} rows")
 
     cfg = EncoderConfig(
         vocab_size=len(vocab), hidden_size=args.hidden, num_layers=args.layers,
