@@ -185,7 +185,8 @@ class AdaptiveClassifier:
             lex = self.lexical.transform(padded)
         return ids, mask, lex
 
-    def _embed_chunks_device(self, texts: List[str]):
+    def _embed_chunks_device(self, texts: List[str],
+                             chunk_override: Optional[int] = None):
         """Yield ``(emb_device [chunk_pad, D], n_valid_rows)`` per chunk with a
         one-chunk tokenization lookahead: chunk N+1 tokenizes on a worker
         thread while the device runs chunk N (jax dispatch is async, so the
@@ -198,8 +199,8 @@ class AdaptiveClassifier:
             lambda name, **kw: contextlib.nullcontext()
         )
         chunk = max(self.config.embed_chunk_size, 64)
-        if getattr(self, "_chunk_override", None):
-            chunk = max(self._chunk_override, 1)
+        if chunk_override:
+            chunk = max(chunk_override, 1)
         parts = [texts[s : s + chunk] for s in range(0, len(texts), chunk)]
         if len(parts) == 1:
             with stage("tokenize"):
@@ -738,11 +739,10 @@ class AdaptiveClassifier:
                 fused_min_classes=self.config.fused_topk_min_classes,
             )
 
-        self._chunk_override = batch_size
-        try:
-            return self._device_predict_rows(texts, fuse_dev, kk, k)
-        finally:
-            self._chunk_override = None
+        # chunk override rides the call (NOT instance state: concurrent
+        # predict_batch calls from multiple serving workers must not race)
+        return self._device_predict_rows(texts, fuse_dev, kk, k,
+                                         chunk_override=batch_size)
 
     def predict_proba(
         self, texts, calibrated: bool = False,
@@ -945,7 +945,8 @@ class AdaptiveClassifier:
         }
 
     def _device_predict_rows(
-        self, texts: List[str], fuse_dev, kk: int, k: int
+        self, texts: List[str], fuse_dev, kk: int, k: int,
+        chunk_override: Optional[int] = None,
     ) -> List[List[Tuple[str, float]]]:
         """Shared device-resident predict pipeline (predict / predict_batch).
 
@@ -972,7 +973,8 @@ class AdaptiveClassifier:
             "_get_embeddings" in self.__dict__
             or type(self)._get_embeddings is not AdaptiveClassifier._get_embeddings
         )
-        CH = max(self.config.embed_chunk_size, 64)
+        CH = max(chunk_override, 1) if chunk_override else max(
+            self.config.embed_chunk_size, 64)
 
         def bucket(n):
             return 1 if n == 1 else 8 if n <= 8 else 64 if n <= 64 else CH
@@ -990,10 +992,20 @@ class AdaptiveClassifier:
                     )
                 with stage("knn_fusion"):
                     scores, ids = fuse_dev(jnp.asarray(part))
+                # keep padded on device (no data-dependent slice shapes);
+                # drop padding rows on host below
                 packed.append(
-                    jnp.concatenate([scores[:n], ids[:n].astype(jnp.float32)], axis=1)
+                    jnp.concatenate([scores, ids.astype(jnp.float32)], axis=1)
                 )
-            host = np.asarray(jnp.concatenate(packed, axis=0))
+            padded_host = np.asarray(jnp.concatenate(packed, axis=0))
+            keep = np.zeros(padded_host.shape[0], bool)
+            off = 0
+            for s in range(0, len(texts), CH):
+                n = min(CH, len(texts) - s)
+                pad = bucket(n)
+                keep[off : off + n] = True
+                off += pad
+            host = padded_host[keep]
             id2l = self.id_to_label
             return [
                 [(id2l[i], s) for s, i in zip(srow, irow) if i >= 0 and i in id2l][:k]
@@ -1014,14 +1026,23 @@ class AdaptiveClassifier:
                               else ([], list(range(len(texts)))))
         miss_texts = [texts[i] for i in miss_idx]
 
-        packed = []      # [n_i, 2*kk] per chunk: scores ‖ ids
+        # per-chunk [pad_i, 2*kk] blocks (scores ‖ ids), kept FULLY PADDED on
+        # device: slicing scores[:n] here would bake the data-dependent row
+        # count into the concat program and recompile per distinct batch
+        # size (~1.7 s each on a tunneled TPU — measured as the round-4
+        # serving-capacity stall); padding rows are dropped on host instead
+        packed = []
+        spans = []       # (n_valid, pad) per chunk, host side
         pos = 0
-        for emb, n in (self._embed_chunks_device(miss_texts) if miss_texts else ()):
+        for emb, n in (self._embed_chunks_device(
+                miss_texts, chunk_override=chunk_override)
+                if miss_texts else ()):
             with stage("knn_fusion"):
                 scores, ids = fuse_dev(emb)
             packed.append(
-                jnp.concatenate([scores[:n], ids[:n].astype(jnp.float32)], axis=1)
+                jnp.concatenate([scores, ids.astype(jnp.float32)], axis=1)
             )
+            spans.append((n, scores.shape[0]))
             if cache is not None:
                 # device-to-device ring-buffer write of the FULL padded chunk
                 # (fixed compiled shape; padding rows drop via OOB scatter) —
@@ -1042,12 +1063,21 @@ class AdaptiveClassifier:
                 with stage("knn_fusion"):
                     hs, hi = fuse_dev(hit_emb)
                 packed.append(
-                    jnp.concatenate([hs[:n], hi[:n].astype(jnp.float32)], axis=1)
+                    jnp.concatenate([hs, hi.astype(jnp.float32)], axis=1)
                 )
+                spans.append((n, hs.shape[0]))
 
-        # single packed drain
-        host = np.asarray(jnp.concatenate(packed, axis=0)) if packed else \
-            np.zeros((0, 2 * kk), np.float32)
+        # single packed drain; drop padding rows host-side
+        if packed:
+            padded_host = np.asarray(jnp.concatenate(packed, axis=0))
+            keep = np.zeros(padded_host.shape[0], bool)
+            off = 0
+            for n, pad in spans:
+                keep[off : off + n] = True
+                off += pad
+            host = padded_host[keep]
+        else:
+            host = np.zeros((0, 2 * kk), np.float32)
 
         scores_np = host[:, :kk]
         ids_np = host[:, kk:].astype(np.int64)

@@ -20,9 +20,14 @@ Production QoS (round 2):
   one chip behind one worker: batches never mix models, and scheduling is
   priority-then-FIFO across tenants.
 
-The worker is the classifier's single writer (memory.py's concurrency
-model): ``add_examples`` submitted through the server serializes with
-predictions, so continual learning and serving interleave safely.
+Round 4: the server runs ``num_workers`` (default 2) worker threads so
+one batch's host work (collect, tokenize, result fan-out) overlaps
+another's device wait — the single-chip device serializes the actual
+compute, but the chip never idles on host bookkeeping.  The classifier's
+single-WRITER model (memory.py) is enforced with a reader-writer lock:
+predict batches run concurrently (the predict pipeline is read-only),
+while ``add_examples`` is exclusive — continual learning still serializes
+with all predictions.
 """
 
 from __future__ import annotations
@@ -111,6 +116,50 @@ class _PriorityChannel:
             return len(self._heap)
 
 
+class _RWLock:
+    """Reader-writer lock with writer preference.
+
+    Predict batches hold it shared (the classifier's predict pipeline is
+    read-only and thread-safe); ``add_examples`` holds it exclusively —
+    the single-WRITER model (memory.py), not single-threaded serving.
+    A waiting writer blocks new readers so continual-learning requests
+    cannot starve under sustained predict load.
+    """
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self):
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self):
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
 class BatchingClassifierServer:
     """Micro-batching front end over an AdaptiveClassifier.
 
@@ -123,7 +172,8 @@ class BatchingClassifierServer:
 
     def __init__(self, classifier=None, max_batch_size: int = 64,
                  max_wait_ms: float = 2.0, max_queue_depth: int = 0,
-                 classifiers: Optional[Dict[str, object]] = None):
+                 classifiers: Optional[Dict[str, object]] = None,
+                 num_workers: int = 2):
         if classifiers is None:
             if classifier is None:
                 raise ValueError("need a classifier (or classifiers=...)")
@@ -138,8 +188,10 @@ class BatchingClassifierServer:
         self._pending = 0               # admitted, not yet resolved
         self._pending_lock = threading.Lock()
         self._drained = threading.Condition(self._pending_lock)
-        self._held: Optional[_Request] = None  # deferred by the batch collector
-        self._worker: Optional[threading.Thread] = None
+        self.num_workers = max(1, int(num_workers))
+        self._workers: List[threading.Thread] = []
+        self._rw = _RWLock()            # predict=shared, add=exclusive
+        self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self.batches_run = 0
         self.requests_served = 0
@@ -148,23 +200,29 @@ class BatchingClassifierServer:
 
     # -- lifecycle ------------------------------------------------------
     def start(self):
-        if self._worker is not None:
+        if self._workers:
             return
         self._stop.clear()
-        self._worker = threading.Thread(target=self._run, daemon=True,
-                                        name="ac-tpu-serving")
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run, daemon=True,
+                             name=f"ac-tpu-serving-{i}")
+            for i in range(self.num_workers)
+        ]
+        for w in self._workers:
+            w.start()
 
     def stop(self, drain: bool = True):
-        if self._worker is None:
+        if not self._workers:
             return
         if drain:
             with self._drained:
                 self._drained.wait_for(lambda: self._pending == 0)
         self._stop.set()
-        self._chan.put(None)  # wake the worker
-        self._worker.join(timeout=10)
-        self._worker = None
+        for _ in self._workers:
+            self._chan.put(None)  # wake blocked workers
+        for w in self._workers:
+            w.join(timeout=10)
+        self._workers = []
 
     def __enter__(self):
         self.start()
@@ -226,29 +284,34 @@ class BatchingClassifierServer:
         return self._admit(_Request("add", model, list(texts), list(labels), 0))
 
     # -- worker ---------------------------------------------------------
-    def _take(self, timeout: Optional[float]) -> Optional[_Request]:
-        """Next request from holdover or channel; expired ones resolve to
-        DeadlineExceeded immediately and are never returned."""
+    def _take(self, held: List[Optional[_Request]],
+              timeout: Optional[float]) -> Optional[_Request]:
+        """Next request from this worker's holdover or the channel; expired
+        ones resolve to DeadlineExceeded immediately and are never
+        returned."""
         while True:
-            if self._held is not None:
-                req, self._held = self._held, None
+            if held[0] is not None:
+                req, held[0] = held[0], None
             else:
                 req = self._chan.get(timeout=timeout)  # may raise queue.Empty
             if req is not None and req.expired():
-                self.requests_expired += 1
+                with self._stats_lock:
+                    self.requests_expired += 1
                 req.future.set_exception(DeadlineExceeded("deadline exceeded in queue"))
                 self._done(1)
                 continue
             return req
 
-    def _collect(self) -> List[_Request]:
-        """Block for one request, then coalesce more until the batch fills
+    def _collect(self, held: List[Optional[_Request]]) -> List[_Request]:
+        """Wait for one request, then coalesce more until the batch fills
         or max_wait elapses.  Batches never mix kinds or models (training
         acts as a barrier — single-writer model); the odd one out goes to
-        the holdover slot for the next batch."""
+        this worker's holdover slot for its next batch."""
         try:
-            first = self._take(timeout=None)
-        except queue.Empty:  # pragma: no cover — no timeout on first take
+            # bounded first take so every worker re-checks _stop even if
+            # another worker consumed its wake-up sentinel
+            first = self._take(held, timeout=0.25)
+        except queue.Empty:
             return []
         if first is None:
             return []
@@ -261,39 +324,43 @@ class BatchingClassifierServer:
             if remaining <= 0:
                 break
             try:
-                nxt = self._take(timeout=remaining)
+                nxt = self._take(held, timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:
                 break
             if (nxt.kind != "predict" or nxt.model != first.model
                     or nxt.mode != first.mode):
-                self._held = nxt
+                held[0] = nxt
                 break
             batch.append(nxt)
         return batch
 
     def _run(self):
+        held: List[Optional[_Request]] = [None]  # this worker's holdover
         while not self._stop.is_set():
-            batch = self._collect()
+            batch = self._collect(held)
             if not batch:
                 continue
             try:
                 clf = self.classifiers[batch[0].model]
                 if batch[0].kind == "add":
                     req = batch[0]
+                    self._rw.acquire_write()   # training is a barrier
                     try:
                         clf.add_examples(req.texts, req.labels)
                         req.future.set_result(True)
                     except Exception as e:
                         req.future.set_exception(e)
                     finally:
+                        self._rw.release_write()
                         self._done(1)
                     continue
 
                 texts = [r.texts[0] for r in batch]
                 k = max(r.k for r in batch)
                 mode = batch[0].mode
+                self._rw.acquire_read()        # predicts run concurrently
                 try:
                     if mode == "robust":
                         results = clf.predict_robust_batch(texts, k=k)
@@ -315,9 +382,11 @@ class BatchingClassifierServer:
                         if not r.future.done():
                             r.future.set_exception(e)
                 finally:
+                    self._rw.release_read()
                     self._done(len(batch))
-                self.batches_run += 1
-                self.requests_served += len(batch)
+                with self._stats_lock:
+                    self.batches_run += 1
+                    self.requests_served += len(batch)
             except Exception:  # pragma: no cover — keep the worker alive
                 logger.exception("serving worker error")
 

@@ -117,18 +117,81 @@ def main():
 
 
 def _bench_serving(clf, stems):
-    """Mixed-priority load through the batching server (single chip)."""
+    """Serving CAPACITY through the batching server (VERDICT r3 #6).
+
+    Round 3 measured 4 synchronous clients — ≤4 requests ever in flight
+    against max_batch_size=256, so the server could never batch and
+    "sustained_qps" was just 4/latency.  Round 4 measures three regimes:
+
+    1. saturated — async ``submit_predict`` keeps thousands of requests
+       in flight; the server batches freely.  This is capacity.
+    2. 80%-of-capacity open loop — submissions paced at 0.8× the
+       saturated rate; p50/p99 include queueing.  This is the SLO row.
+    3. concurrency-4 closed loop — kept for comparison with round 3.
+    """
     import threading
 
     from adaptive_classifier_tpu.serving import BatchingClassifierServer
 
-    n_threads, per_thread = (2, 20) if SMOKE else (4, 1500)
-    lat: list = []
-    lock = threading.Lock()
+    out: dict = {}
     with BatchingClassifierServer(clf, max_batch_size=256,
-                                  max_queue_depth=16384) as srv:
-        # warm the server path
+                                  max_queue_depth=65536) as srv:
         srv.predict("warm the batching path please", k=1)
+
+        # --- 1. saturated throughput (async, all in flight) -------------
+        n_sat = 64 if SMOKE else 16384
+        futs = []
+        t0 = time.perf_counter()
+        for i in range(n_sat):
+            futs.append(srv.submit_predict(
+                stems[i % len(stems)] + f" sat {i}", k=1))
+        for f in futs:
+            f.result()
+        wall = time.perf_counter() - t0
+        stats = srv.stats()
+        sat_qps = n_sat / wall
+        out["saturated"] = {
+            "qps": round(sat_qps, 1),
+            "n_requests": n_sat,
+            "mean_batch_size": round(stats["mean_batch_size"], 1),
+        }
+
+        # --- 2. open-loop at 80% of capacity: latency under real load ---
+        n_open = 48 if SMOKE else 4096
+        rate = sat_qps * 0.8
+        done_at = [0.0] * n_open
+        sent_at = [0.0] * n_open
+        futs2 = []
+
+        def _stamp(i):
+            def cb(_f):
+                done_at[i] = time.perf_counter()
+            return cb
+
+        t_start = time.perf_counter()
+        for i in range(n_open):
+            target = t_start + i / rate
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+            sent_at[i] = max(target, time.perf_counter())
+            f = srv.submit_predict(stems[i % len(stems)] + f" open {i}", k=1)
+            f.add_done_callback(_stamp(i))
+            futs2.append(f)
+        for f in futs2:
+            f.result()
+        lat = np.asarray(done_at) - np.asarray(sent_at)
+        out["open_loop_80pct"] = {
+            "offered_qps": round(rate, 1),
+            "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+            "n_requests": n_open,
+        }
+
+        # --- 3. concurrency-4 closed loop (round-3 comparison row) ------
+        n_threads, per_thread = (2, 10) if SMOKE else (4, 400)
+        lat4: list = []
+        lock = threading.Lock()
 
         def client(tid):
             local = []
@@ -143,7 +206,7 @@ def _bench_serving(clf, stems):
                 except Exception:
                     local.append(float("nan"))
             with lock:
-                lat.extend(local)
+                lat4.extend(local)
 
         threads = [threading.Thread(target=client, args=(t,))
                    for t in range(n_threads)]
@@ -152,17 +215,16 @@ def _bench_serving(clf, stems):
             t.start()
         for t in threads:
             t.join()
-        wall = time.perf_counter() - t0
-        expired = srv.requests_expired
-    ok = np.asarray([x for x in lat if x == x])
-    return {
-        "sustained_qps": round(len(ok) / wall, 1),
-        "p50_ms": round(float(np.percentile(ok, 50)) * 1e3, 2),
-        "p99_ms": round(float(np.percentile(ok, 99)) * 1e3, 2),
-        "n_requests": n_threads * per_thread,
-        "expired": int(expired),
-        "clients": n_threads,
-    }
+        wall4 = time.perf_counter() - t0
+        ok = np.asarray([x for x in lat4 if x == x])
+        out["concurrency_4"] = {
+            "qps": round(len(ok) / wall4, 1),
+            "p50_ms": round(float(np.percentile(ok, 50)) * 1e3, 2),
+            "p99_ms": round(float(np.percentile(ok, 99)) * 1e3, 2),
+            "n_requests": n_threads * per_thread,
+        }
+        out["expired"] = int(srv.requests_expired)
+    return out
 
 
 def _bench_large_index(stems):

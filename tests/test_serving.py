@@ -192,3 +192,48 @@ def test_prediction_modes(synth_classifier_factory):
         import pytest
         with pytest.raises(ValueError, match="unknown mode"):
             server.predict("alpha:x", mode="telepathy")
+
+
+def test_multi_worker_consistency_and_write_exclusion(synth_classifier_factory):
+    """num_workers>1: predict batches run concurrently under the shared
+    RW lock, results match the direct path, and an interleaved
+    add_examples (write-exclusive) lands without corrupting either side
+    (round-4 serving-capacity work)."""
+    clf = synth_classifier_factory()
+    clf.add_examples([f"cat:{i}" for i in range(6)] + [f"dog:{i}" for i in range(6)],
+                     ["cat"] * 6 + ["dog"] * 6)
+    ref = {t: clf.predict_batch([t], k=1)[0][0][0]
+           for t in ["cat:77", "dog:88"]}
+    with BatchingClassifierServer(clf, max_batch_size=8, max_wait_ms=2,
+                                  num_workers=3) as srv:
+        futs = [srv.submit_predict("cat:77" if i % 2 == 0 else "dog:88", k=1)
+                for i in range(60)]
+        addf = srv.submit_add_examples([f"bird:{i}" for i in range(4)],
+                                       ["bird"] * 4)
+        futs2 = [srv.submit_predict(f"bird:{i}", k=1) for i in range(8)]
+        for i, f in enumerate(futs):
+            want = ref["cat:77"] if i % 2 == 0 else ref["dog:88"]
+            assert f.result(timeout=60)[0][0] == want
+        assert addf.result(timeout=60) is True
+        assert all(f.result(timeout=60) for f in futs2)
+    assert clf.predict("bird:1", k=1)[0][0] == "bird"
+
+
+def test_predict_batch_size_invariance(synth_classifier_factory):
+    """predict_batch must return (near-)identical results regardless of
+    how the batch splits into padded device chunks — the padded-drain
+    rewrite keeps chunks at bucketed shapes and drops padding rows on
+    host (per-batch-size recompile fix, round 4)."""
+    clf = synth_classifier_factory(config={"embedding_cache_size": 0})
+    clf.add_examples([f"cat:{i}" for i in range(6)] + [f"dog:{i}" for i in range(6)],
+                     ["cat"] * 6 + ["dog"] * 6)
+    texts = [("cat:q%d" if i % 2 else "dog:q%d") % i for i in range(33)]
+    ref = clf.predict_batch(texts, k=2)
+    for n in (1, 3, 7, 20, 33):
+        out = clf.predict_batch(texts[:n], k=2)
+        for a, b in zip(out, ref):
+            assert [l for l, _ in a] == [l for l, _ in b]
+            assert all(abs(x - y) < 1e-3 for (_, x), (_, y) in zip(a, b))
+    out = clf.predict_batch(texts[:10], k=2, batch_size=4)
+    for a, b in zip(out, ref):
+        assert [l for l, _ in a] == [l for l, _ in b]
