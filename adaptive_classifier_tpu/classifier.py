@@ -114,6 +114,12 @@ class AdaptiveClassifier:
         #: addition (training.fit_proto_bias); None = exact reference scoring
         self._proto_bias: Optional[np.ndarray] = None
 
+        #: fold-fitted prototype fusion share (config.fusion_weights="auto",
+        #: training.fit_fusion_alpha); None = reference weighting (per-label
+        #: history weights in predict, fixed 0.7/0.3 in predict_batch)
+        self._fusion_alpha: Optional[float] = None
+        self._fusion_report: Optional[Dict[str, Any]] = None
+
         # Strategic components (classifier.py:105-112)
         self.strategic_cost_function: Optional[StrategicCostFunction] = None
         self.strategic_optimizer: Optional[StrategicOptimizer] = None
@@ -314,8 +320,13 @@ class AdaptiveClassifier:
     def _history_weights(self) -> Tuple[jax.Array, jax.Array]:
         """Per-label fusion weights from the training history
         (classifier.py:449-467): <10 trained examples → proto 0.3 / head 0.7,
-        else proto 0.7 / head 0.3."""
+        else proto 0.7 / head 0.3.  A fold-fitted fusion share
+        (config.fusion_weights="auto") overrides the history heuristic
+        uniformly — the fit already saw the per-class training counts."""
         C = self._class_capacity
+        if self._fusion_alpha is not None:
+            pw = np.full((C,), self._fusion_alpha, np.float32)
+            return jnp.asarray(pw), jnp.asarray(1.0 - pw)
         pw = np.full((C,), 0.3, np.float32)
         for label, idx in self.label_to_id.items():
             pw[idx] = 0.3 if self.training_history.get(label, 0) < 10 else 0.7
@@ -392,14 +403,19 @@ class AdaptiveClassifier:
         (classifier.py:1238-1247).  With the lexical channel on, hidden
         widths stay at the DENSE dim: [D+L, D+L/2] would be a ~75M-param
         head at L=8192; the wide sparse input needs a wide first weight
-        matrix (input_dim × D), not wide hidden layers."""
+        matrix (input_dim × D), not wide hidden layers.
+
+        head_type="ridge" heads are LINEAR (no hidden layers): every
+        retrain replaces the weights with the closed-form ridge solution
+        (training.ridge_solve), so hidden capacity would never train."""
         D = self.encoder.hidden_size
+        hidden = [] if self.config.head_type == "ridge" else [D, D // 2]
         self.head_params = head_lib.init_head(
             jax.random.PRNGKey(self.seed),
             self.embedding_dim,
             self._class_capacity,
             max(len(self.label_to_id), 1),
-            hidden_dims=[D, D // 2],
+            hidden_dims=hidden,
         )
 
     def _ensure_head_capacity(self):
@@ -424,17 +440,83 @@ class AdaptiveClassifier:
             return
         n_cap = self.config.train_capacity(n_total)
         emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
-        result = training.fit_head(
-            self.head_params, emb, lbl, valid, self._active_mask(),
-            jax.random.fold_in(jax.random.PRNGKey(self.seed), self.train_steps),
-            lr=self.config.learning_rate,
-            loss_type="ce",
-            max_epochs=epochs or self.config.epochs,
-            patience=self.config.early_stopping_patience,
-            use_scheduler=True,
-        )
-        self.head_params = result.params
+        if self.config.head_type == "ridge":
+            # closed-form exact fit — no epochs, no seed sensitivity
+            self.head_params = training.ridge_head_params(
+                emb, lbl, valid, self._class_capacity,
+                lam=self.config.ridge_lambda, keep_from=self.head_params)
+        else:
+            result = training.fit_head(
+                self.head_params, emb, lbl, valid, self._active_mask(),
+                jax.random.fold_in(jax.random.PRNGKey(self.seed), self.train_steps),
+                lr=self.config.learning_rate,
+                loss_type="ce",
+                max_epochs=epochs or self.config.epochs,
+                patience=self.config.early_stopping_patience,
+                use_scheduler=True,
+            )
+            self.head_params = result.params
         self.train_steps += 1
+        if self.config.fusion_weights == "auto":
+            self._fit_fusion_alpha(emb, lbl, valid)
+
+    def _fit_fusion_alpha(self, emb, lbl, valid):
+        """Fit the prototype/head fusion share on a 2-fold split of the
+        training rows (config.fusion_weights="auto";
+        training.fit_fusion_alpha).  Each fold fits a head of the
+        PRODUCTION type on the fit half only — ridge closed-form or the
+        same jitted MLP program as _train_adaptive_head — and scores the
+        real fused decision rules on the val half, so selection never sees
+        anything prediction won't.  With head_type="ridge" the α=0 grid
+        point IS the train-fold ridge probe; the fitted configuration can
+        therefore never validate below the probe (round-3 weak #2)."""
+        n = int(jnp.sum(valid.astype(jnp.int32)))
+        n_classes = len(self.label_to_id)
+        if n < 8 or n_classes < 2:
+            return
+        e = np.asarray(emb[:n], np.float32)   # valid rows are front-sorted
+        y = np.asarray(lbl[:n])
+        cap = self._class_capacity
+
+        if self.config.head_type == "ridge":
+            lam = self.config.ridge_lambda
+
+            def fold_fit(fe, fy, ve):
+                nf = len(fy)
+                fcap = self.config.train_capacity(nf)
+                fe_p = np.zeros((fcap, fe.shape[1]), np.float32)
+                fy_p = np.zeros((fcap,), np.int32)
+                fe_p[:nf], fy_p[:nf] = fe, fy
+                W = training.ridge_solve(
+                    jnp.asarray(fe_p), jnp.asarray(fy_p),
+                    jnp.arange(fcap) < nf, cap, lam)
+                return np.asarray(jnp.asarray(ve) @ W)
+        else:
+            def fold_fit(fe, fy, ve):
+                nf = len(fy)
+                fcap = self.config.train_capacity(nf)
+                fe_p = np.zeros((fcap, fe.shape[1]), np.float32)
+                fy_p = np.zeros((fcap,), np.int32)
+                fe_p[:nf], fy_p[:nf] = fe, fy
+                D = self.encoder.hidden_size
+                params = head_lib.init_head(
+                    jax.random.PRNGKey(self.seed), self.embedding_dim, cap,
+                    max(n_classes, 1), hidden_dims=[D, D // 2])
+                result = training.fit_head(
+                    params, jnp.asarray(fe_p), jnp.asarray(fy_p),
+                    jnp.arange(fcap) < nf, self._active_mask(),
+                    jax.random.fold_in(jax.random.PRNGKey(self.seed), 104729),
+                    lr=self.config.learning_rate, loss_type="ce",
+                    max_epochs=self.config.epochs,
+                    patience=self.config.early_stopping_patience,
+                    use_scheduler=True,
+                )
+                return np.asarray(head_lib.head_forward(
+                    result.params, jnp.asarray(ve), train=False))
+
+        alpha, report = training.fit_fusion_alpha(e, y, n_classes, fold_fit)
+        self._fusion_alpha = alpha
+        self._fusion_report = report
 
     def _train_new_classes(self, old_head: Optional[HeadParams], new_classes: Set[str]):
         """Incremental new-class training with balanced sampling + EWC
@@ -491,6 +573,16 @@ class AdaptiveClassifier:
             for l in old_labels
         )
         freeze_old = lossy_replay and self.config.incremental_freeze_on_lossy_replay
+
+        if self.config.head_type == "ridge" and not freeze_old:
+            # closed-form refit on the full replay store: the exact ridge
+            # solution already weighs every class's rows, so the balanced
+            # resampling / EWC / LwF machinery (which exists to protect an
+            # SGD head from an unbalanced stream) has no role.  The lossy
+            # path keeps the freeze machinery — only it guarantees
+            # bit-identical old-class logits on ~5 replay rows/class.
+            self._train_adaptive_head()
+            return
 
         n_sel = len(sel_labels)
         proto_rows = []
@@ -725,6 +817,7 @@ class AdaptiveClassifier:
         active = self._active_mask()
 
         proto_bias = self._proto_bias_arr()
+        pw = 0.7 if self._fusion_alpha is None else float(self._fusion_alpha)
 
         def fuse_dev(emb):
             # ONE device program per chunk (sims + head + fusion): each
@@ -733,7 +826,7 @@ class AdaptiveClassifier:
             # two-stage fused top-k kernel (no [B, C] sims materialization)
             return fusion.fuse_topk_from_emb(
                 emb, state.proto, state.valid, self.head_params, active,
-                0.7, 0.3, kk, has_head,
+                pw, 1.0 - pw, kk, has_head,
                 pallas_min_classes=self.config.pallas_knn_min_classes,
                 proto_bias=proto_bias,
                 fused_min_classes=self.config.fused_topk_min_classes,

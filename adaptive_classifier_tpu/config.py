@@ -202,6 +202,25 @@ class ModelConfig:
         #: the predict_batch(k=1) rule).  Zero penalty (or disabling this)
         #: is exact reference scoring.
         self.prototype_recalibration = g("prototype_recalibration", True)
+        #: classification head family: "mlp" (reference parity — the
+        #: SGD-trained Sequential of models.py:30-98) or "ridge" — a
+        #: closed-form multi-class ridge regression fitted exactly on the
+        #: replay store (training.ridge_solve; λ=ridge_lambda, no
+        #: intercept).  The ridge head IS the train-fold probe the lexical
+        #: channel selects with, promoted to production: measured round 3,
+        #: the probe beat the full MLP+prototype fusion by 4pp on sentiment
+        #: (0.79 vs 0.75) on identical features.
+        self.head_type = g("head_type", "mlp")
+        #: L2 strength for head_type="ridge" (probe parity default)
+        self.ridge_lambda = g("ridge_lambda", 1.0)
+        #: prototype/head fusion weighting: "history" (reference parity —
+        #: per-label 0.7/0.3 by training count, classifier.py:449-467) or
+        #: "auto" — a scalar prototype share fitted per task on an
+        #: alternating per-class 2-fold split of the training rows by the
+        #: PRODUCTION decision rules (training.fit_fusion_alpha).  The grid
+        #: includes 0.0 (head only — with head_type="ridge" exactly the
+        #: probe's rule) and 1.0 (prototypes only); ties prefer 0.7.
+        self.fusion_weights = g("fusion_weights", "history")
         #: host-side LRU for text→embedding (0 disables); the encoder is
         #: frozen so cached rows never go stale
         self.embedding_cache_size = g("embedding_cache_size", 4096)
@@ -243,6 +262,9 @@ class ModelConfig:
             "lexical_dim": self.lexical_dim,
             "lexical_weight": self.lexical_weight,
             "lexical_grams": self.lexical_grams,
+            "head_type": self.head_type,
+            "ridge_lambda": self.ridge_lambda,
+            "fusion_weights": self.fusion_weights,
         })
         return d
 

@@ -56,6 +56,10 @@ def save_classifier(clf, save_directory: Path, include_quantized: bool = True) -
         "ac_seed": clf.seed,
         "library_name": "adaptive-classifier",
     }
+    # fold-fitted fusion share (config.fusion_weights="auto") — without it a
+    # reload would fall back to reference weighting until the next retrain
+    if getattr(clf, "_fusion_alpha", None) is not None:
+        config_dict["ac_fusion_alpha"] = float(clf._fusion_alpha)
 
     # representative examples (classifier.py:559-566)
     saved_examples: Dict[str, Any] = {}
@@ -188,6 +192,8 @@ def load_classifier(cls, model_path: Path, device: Optional[str] = None):
         # and keep the constructor default
         seed=config_dict.get("ac_seed", 42),
     )
+    if "ac_fusion_alpha" in config_dict:
+        clf._fusion_alpha = float(config_dict["ac_fusion_alpha"])
     lex_file = model_path / "lexical.json"
     if lex_file.exists() and clf.lexical is not None:
         from .lexical import HashedTfidf

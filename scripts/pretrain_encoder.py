@@ -157,13 +157,18 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
         "/opt/venv/lib/python3.12/site-packages",
         "/usr/lib/python3/dist-packages",
         "/usr/share/doc",
+        # round 4: doc prose in roots the doc stage never walked — wheel
+        # caches and the SDK tree both ship *.md/*.rst/*.txt documentation
+        "/root/.cache/uv/archive-v0",
+        "/usr/lib/google-cloud-sdk",
     ) if Path(p).exists()]
     # round 4: prose-heavy roots the round-3 harvest never touched
     extra_py_roots = [p for p in (
         "/usr/lib/google-cloud-sdk",
         "/root/.cache/uv/archive-v0",
     ) if Path(p).exists()]
-    c_roots = [p for p in (roots[0] if roots else None, "/usr/include")
+    c_roots = [p for p in (roots[0] if roots else None, "/usr/include",
+                           "/root/.cache/uv/archive-v0")
                if p and Path(p).exists()]
     lines: list[str] = []
     seen = set()
@@ -192,6 +197,16 @@ def build_corpus(max_mb: float = 300.0, code_mb: float = 0.0,
 
     for root in roots:
         for pat in ("**/*.md", "**/*.rst", "**/*.txt"):
+            for f in glob.iglob(f"{root}/{pat}", recursive=True):
+                try:
+                    if not add(_prose_lines(read(f))):
+                        return lines
+                except Exception:
+                    continue
+    # wheel long-descriptions: every installed/cached distribution carries
+    # its README in dist-info METADATA / PKG-INFO — real package prose
+    for root in roots:
+        for pat in ("**/METADATA", "**/PKG-INFO"):
             for f in glob.iglob(f"{root}/{pat}", recursive=True):
                 try:
                     if not add(_prose_lines(read(f))):

@@ -203,7 +203,8 @@ def test_predict_batch_batch_size_honored(trained):
     queries = [f"pos:{i}" for i in range(5)] + [f"neg:{i}" for i in range(4)]
     default = trained.predict_batch(queries, k=2)
     small = trained.predict_batch(queries, k=2, batch_size=2)
-    assert trained._chunk_override is None  # cleaned up after the call
+    # chunk override rides the call (not instance state — concurrent
+    # serving workers must not race on it), so nothing to clean up here
     for a, b in zip(default, small):
         assert [l for l, _ in a] == [l for l, _ in b]
         for (_, sa), (_, sb) in zip(a, b):
