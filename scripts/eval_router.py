@@ -63,11 +63,13 @@ def load_real(seed_per_class: int = 5):
 
 def run_stream(clf, rows, cost, adapt: bool):
     """Route the eval stream query by query (the serving scenario); with
-    adaptation, feed each outcome back before the next query."""
+    adaptation, feed each outcome back before the next query.  Returns the
+    aggregate report plus per-query (pred, success) for paired analysis."""
     routed_cost = 0.0
     successes = 0
     correct_route = 0
     fed = {"HIGH": [], "LOW": []}
+    per_query = []
     for d in rows:
         p = clf.predict(d["q"], k=1)
         pred = p[0][0] if p else "HIGH"
@@ -75,6 +77,7 @@ def run_stream(clf, rows, cost, adapt: bool):
         success = True if pred == "HIGH" else bool(d["weak_ok"])
         successes += success
         correct_route += pred == d["label"]
+        per_query.append((pred, bool(success)))
         if adapt:
             # feedback: a failed cheap answer teaches HIGH; a successful
             # cheap answer reinforces LOW (reference's adaptation loop)
@@ -94,6 +97,43 @@ def run_stream(clf, rows, cost, adapt: bool):
         "success_rate": round(successes / n, 4),
         "cost_savings_pct": round(100 * (1 - routed_cost / all_strong), 2),
         "efficiency_ratio": round((successes / n) / (routed_cost / all_strong), 3),
+    }, per_query
+
+
+def mcnemar_exact(b: int, c: int) -> float:
+    """Two-sided exact McNemar p-value from the discordant-pair counts
+    (binomial(b+c, 0.5) tail doubled, capped at 1).  Gives the paired
+    per-query adaptation-effect test the round-3 row lacked — the two arms
+    route the SAME query stream, so discordant pairs are the entire
+    evidence and the test needs no seed-spread crutch."""
+    import math
+
+    n = b + c
+    if n == 0:
+        return 1.0
+    k = min(b, c)
+    tail = sum(math.comb(n, i) for i in range(k + 1)) / 2.0 ** n
+    return min(1.0, 2.0 * tail)
+
+
+def paired_analysis(base, adapted) -> dict:
+    """Per-query paired comparison of the two arms on the same stream."""
+    cheap_b = sum(1 for (p0, _), (p1, _) in zip(base, adapted)
+                  if p0 == "LOW" and p1 == "HIGH")
+    cheap_c = sum(1 for (p0, _), (p1, _) in zip(base, adapted)
+                  if p0 == "HIGH" and p1 == "LOW")
+    succ_b = sum(1 for (_, s0), (_, s1) in zip(base, adapted) if s0 and not s1)
+    succ_c = sum(1 for (_, s0), (_, s1) in zip(base, adapted) if s1 and not s0)
+    return {
+        "n_pairs": len(base),
+        "routed_cheap_discordant": {"base_only": cheap_b, "adapted_only": cheap_c},
+        "routed_cheap_mcnemar_p": round(mcnemar_exact(cheap_b, cheap_c), 6),
+        "success_discordant": {"base_only": succ_b, "adapted_only": succ_c},
+        "success_mcnemar_p": round(mcnemar_exact(succ_b, succ_c), 6),
+        "note": ("exact two-sided McNemar on per-query pairs (same stream, "
+                 "both arms): 'routed_cheap' tests whether adaptation "
+                 "changes the cost profile; 'success' tests whether it "
+                 "changes answer quality"),
     }
 
 
@@ -132,12 +172,15 @@ def main():
 
     report = {"data": args.data, "model": args.model, "seed": args.seed,
               "n_train": len(train), "n_eval": len(eval_rows)}
-    report["without_adaptation"] = run_stream(fresh(), eval_rows, cost, adapt=False)
+    report["without_adaptation"], base_pq = run_stream(
+        fresh(), eval_rows, cost, adapt=False)
     if args.adapt:
-        report["with_adaptation"] = run_stream(fresh(), eval_rows, cost, adapt=True)
+        report["with_adaptation"], adapt_pq = run_stream(
+            fresh(), eval_rows, cost, adapt=True)
         report["cost_savings_gain_pp"] = round(
             report["with_adaptation"]["cost_savings_pct"]
             - report["without_adaptation"]["cost_savings_pct"], 2)
+        report["paired"] = paired_analysis(base_pq, adapt_pq)
     print(json.dumps(report, indent=2))
     if args.json_out:
         Path(args.json_out).write_text(json.dumps(report, indent=2))
