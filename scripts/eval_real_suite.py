@@ -56,16 +56,17 @@ def run_json(script: str, args: list[str], out_file: Path) -> dict:
 
 
 def eval_new_class_preservation(model: str, finetune_steps: int = 0,
-                                seed: int = 42) -> dict:
+                                seed: int = 42, config: dict = None) -> dict:
     """Issue-53 regression on real text: train 10 intents, add 3 new ones,
     old-class accuracy must not collapse.  With ``finetune_steps`` the
     encoder is adapted to the base classes first — the realistic deployment
     order (adapt, then continue learning new classes on the frozen-again
-    space)."""
+    space).  ``config`` selects the classifier configuration (None =
+    reference-default; the production row passes the shipped zoo config)."""
     from adaptive_classifier_tpu import AdaptiveClassifier
 
     blob = json.loads((REPO / "data" / "intents.json").read_text())
-    clf = AdaptiveClassifier(model, seed=seed)
+    clf = AdaptiveClassifier(model, seed=seed, config=config)
     texts = [t for lbl, rows in blob["train"].items() for t in rows]
     labels = [lbl for lbl, rows in blob["train"].items() for t in rows]
     clf.add_examples(texts, labels)

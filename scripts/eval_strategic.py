@@ -159,6 +159,14 @@ def main():
                     help="classifier seed (head init + training shuffle); "
                          "the attack/data RNGs stay fixed so multi-seed runs "
                          "isolate training noise")
+    ap.add_argument("--head-type", default="mlp", choices=["mlp", "ridge"],
+                    help="classification head family for BOTH arms "
+                         "(ridge = closed-form probe-parity head; the "
+                         "round-4 production zoo config)")
+    ap.add_argument("--fusion-weights", default="history",
+                    choices=["history", "auto"],
+                    help="prototype/head fusion weighting for BOTH arms "
+                         "(auto = fold-fitted share; production config)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -181,6 +189,10 @@ def main():
     if not Path(model).exists() and (REPO / model).exists():
         model = str(REPO / model)   # repo-relative checkpoint path
     lex_cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else {}
+    if args.head_type != "mlp":
+        lex_cfg["head_type"] = args.head_type
+    if args.fusion_weights != "history":
+        lex_cfg["fusion_weights"] = args.fusion_weights
     regular = AdaptiveClassifier(model, seed=args.seed,
                                  config=dict(lex_cfg) or None)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
@@ -196,6 +208,15 @@ def main():
         "strategic_training_frequency": 2,
         **lex_cfg,
     })
+    # resolve the strategic arm's lexical config on the SAME full train view
+    # the regular arm gets — the chunked feed below would otherwise freeze
+    # gram kind/weight on its small first chunk (measured: word/1.0 vs the
+    # full-batch char/4.0 → clean_acc 0.63 vs 0.79 on sentiment), making the
+    # arms incomparable (ADVICE r3 noted the divergence; round 4 made it
+    # material via the production head config)
+    if strategic.lexical is not None:
+        strategic._ensure_lexical_ready([d["text"] for d in train],
+                                        [d["label"] for d in train])
     # feed in chunks so the periodic strategic-training step actually runs
     # (reference classifier.py:196-197 fires every N add_examples calls)
     chunk = max(len(train) // 6, 1)
@@ -258,6 +279,13 @@ def main():
         "seed": args.seed,
         "n_train": len(train), "n_clean": len(clean), "n_adv": len(adv),
         "cost_strategy": args.cost_strategy,
+        **({"head_config": {
+                "head_type": args.head_type,
+                "fusion_weights": args.fusion_weights,
+                "fusion_alpha": regular._fusion_alpha,
+                "strategic_fusion_alpha": strategic._fusion_alpha}}
+           if args.head_type != "mlp" or args.fusion_weights != "history"
+           else {}),
         # each arm resolves its own lexical config on its first batch (the
         # strategic arm feeds chunked subsets), so record BOTH — they can
         # legitimately diverge (ADVICE r3)
