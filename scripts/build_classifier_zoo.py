@@ -112,6 +112,15 @@ def main():
                          "0 = dense encoder only). Measured: +14-23pp "
                          "frozen on category/intents/emotions; the "
                          "per-task weight resolves automatically")
+    ap.add_argument("--head-type", default="ridge",
+                    choices=["mlp", "ridge"],
+                    help="head family (round-4 production default: ridge — "
+                         "the closed-form probe-parity head; 'mlp' is the "
+                         "reference-parity SGD head)")
+    ap.add_argument("--fusion-weights", default="auto",
+                    choices=["history", "auto"],
+                    help="prototype/head fusion weighting (production "
+                         "default: fold-fitted scalar share)")
     ap.add_argument("--only", default=None,
                     help="comma-separated dataset names: rebuild/probe just "
                          "these entries and merge into the existing "
@@ -128,7 +137,9 @@ def main():
     out_root.mkdir(parents=True, exist_ok=True)
 
     manifest = {"encoder": args.model, "classifiers": {},
-                "lexical_dim": args.lexical_dim}
+                "lexical_dim": args.lexical_dim,
+                "head_type": args.head_type,
+                "fusion_weights": args.fusion_weights}
     specs = dataset_specs()
     if args.only:
         wanted = [n.strip() for n in args.only.split(",") if n.strip()]
@@ -140,7 +151,12 @@ def main():
         prior = out_root / "manifest.json"
         if prior.exists():   # merge into the existing manifest
             manifest = json.loads(prior.read_text())
-    cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else None
+    cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else {}
+    if args.head_type != "mlp":
+        cfg["head_type"] = args.head_type
+    if args.fusion_weights != "history":
+        cfg["fusion_weights"] = args.fusion_weights
+    cfg = cfg or None
     for name, spec in specs.items():
         print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")
         clf = AdaptiveClassifier(model, config=cfg)
@@ -165,6 +181,8 @@ def main():
         if clf.lexical is not None:
             entry["lexical_weight"] = clf.lexical.weight
             entry["lexical_grams"] = clf.lexical.grams
+        if clf._fusion_alpha is not None:
+            entry["fusion_alpha"] = clf._fusion_alpha
         print(f"    accuracy {acc:.4f}, saved {out}")
         if args.finetune_probe > 0 and args.finetune_steps == 0:
             # informational: what finetune_encoder reaches on this task

@@ -272,20 +272,21 @@ def main():
             ["--model", model, "--finetune-steps", "150",
              "--finetune-augment", "typo", "--seed", str(s0)],
             tmp / "strategic_typo.json"))
-    # production config (lexical channel on, gram kind + weight auto-
-    # selected on the train split) — the encoder-only rows above stay as
-    # the reference-matched mechanism comparison
-    strategic_lex_by_seed = [
+    # production config (lexical channel + ridge head + fold-fitted fusion
+    # weights — exactly what the zoo ships) — the encoder-only rows above
+    # stay as the reference-matched mechanism comparison
+    strategic_prod_by_seed = [
         run_json("eval_strategic.py",
                  ["--model", model, "--seed", str(s),
-                  "--lexical-dim", "8192"],
-                 tmp / f"strategic_lex_s{s}.json")
+                  "--lexical-dim", "8192", "--head-type", "ridge",
+                  "--fusion-weights", "auto"],
+                 tmp / f"strategic_prod_s{s}.json")
         for s in seeds]
     report["strategic"] = {
         "ours": strategic,
         "ours_seed_spread": seed_spread(strategic_by_seed),
-        "ours_lexical": strategic_lex_by_seed[0],
-        "ours_lexical_seed_spread": seed_spread(strategic_lex_by_seed),
+        "ours_production": strategic_prod_by_seed[0],
+        "ours_production_seed_spread": seed_spread(strategic_prod_by_seed),
         "ours_finetuned": strategic_ft,
         "ours_finetuned_typo_augment": strategic_typo,
         "reference_baseline": {
@@ -370,6 +371,14 @@ def main():
                  tmp / f"halluc_s{s}.json")
         for s in seeds]
     halluc = halluc_by_seed[0]
+    halluc_prod_by_seed = [
+        run_json("train_hallucination_detector.py",
+                 ["--model", model, "--seed", str(s),
+                  "--lexical-dim", "8192", "--head-type", "ridge",
+                  "--fusion-weights", "auto",
+                  "--out", str(tmp / "halluc_model_prod")],
+                 tmp / f"halluc_prod_s{s}.json")
+        for s in seeds]
     halluc_ft = ft_row("hallucination", "ours_finetuned", lambda: run_json(
         "train_hallucination_detector.py",
         ["--model", model, "--finetune-steps", "150", "--seed", str(s0),
@@ -378,6 +387,8 @@ def main():
     report["hallucination"] = {
         "ours": halluc,
         "ours_seed_spread": seed_spread(halluc_by_seed),
+        "ours_production": halluc_prod_by_seed[0],
+        "ours_production_seed_spread": seed_spread(halluc_prod_by_seed),
         "ours_finetuned": halluc_ft,
         "reference_baseline": {
             "note": "RAGTruth overall + per-task F1 (README.md:67-70)",
@@ -393,14 +404,21 @@ def main():
     # counterpart — its quality is capped by the frozen encoder.
     from adaptive_classifier_tpu import AdaptiveClassifier as _AC
 
+    import numpy as _np
+    import jax.numpy as _jnp
+    from adaptive_classifier_tpu import training as _training
+
     lex_rows = {}
     for ds in ["sentiment", "category", "emotions", "topic", "intents"]:
         blob = json.loads((REPO / "data" / f"{ds}.json").read_text())
         tr = [(t, l) for l, ts in blob["train"].items() for t in ts]
         te = [(t, l) for l, ts in blob["test"].items() for t in ts]
         row = {}
-        for tag, cfg in [("dense_only", None),
-                         ("with_lexical", {"lexical_dim": 8192})]:
+        for tag, cfg in [
+                ("dense_only", None),
+                ("with_lexical", {"lexical_dim": 8192}),
+                ("production", {"lexical_dim": 8192, "head_type": "ridge",
+                                "fusion_weights": "auto"})]:
             c = _AC(model, seed=s0, config=cfg)
             c.add_examples([t for t, _ in tr], [l for _, l in tr])
             preds = c.predict_batch([t for t, _ in te], k=1)
@@ -408,17 +426,43 @@ def main():
                 1 for (t, l), p in zip(te, preds) if p and p[0][0] == l
             ) / len(te), 4)
             if cfg:
-                row["lexical_weight"] = c.lexical.weight
-                row["lexical_grams"] = c.lexical.grams
+                key = "" if tag == "with_lexical" else f"{tag}_"
+                row[f"{key}lexical_weight"] = c.lexical.weight
+                row[f"{key}lexical_grams"] = c.lexical.grams
+            if tag == "production":
+                row["fusion_alpha"] = c._fusion_alpha
+                # the ridge PROBE on the production classifier's own
+                # composed features (round-3 weak #2's yardstick): fit on
+                # all train rows with the production λ, argmax on test —
+                # the full pipeline must match or beat this on every axis
+                ids = [c.label_to_id[l] for _, l in tr]
+                ftr = _np.asarray(c._get_embeddings([t for t, _ in tr]))
+                fte = _np.asarray(c._get_embeddings([t for t, _ in te]))
+                W = _np.asarray(_training.ridge_solve(
+                    _jnp.asarray(ftr), _jnp.asarray(ids),
+                    _jnp.ones(len(ids), bool), len(c.label_to_id),
+                    c.config.ridge_lambda))
+                ppred = (fte @ W).argmax(1)
+                row["probe"] = round(float(_np.mean([
+                    c.id_to_label[int(p)] == l
+                    for p, (_, l) in zip(ppred, te)])), 4)
         lex_rows[ds] = row
     report["lexical_ablation"] = {
         "ours": lex_rows,
-        "note": ("hashed TF-IDF channel (lexical_dim=8192, weight=auto) "
-                 "vs dense encoder only, frozen, k=1 predict_batch; "
-                 "the zoo ships with the channel on"),
+        "note": ("hashed TF-IDF channel (lexical_dim=8192, weight=auto) vs "
+                 "dense encoder only vs the shipped production config "
+                 "(+ridge head, fold-fitted fusion), frozen, k=1 "
+                 "predict_batch; 'probe' is the train-fit ridge probe on "
+                 "the production classifier's own composed features — the "
+                 "pipeline-vs-probe comparison of round-3 weak #2"),
     }
 
+    PROD_CFG = {"lexical_dim": 8192, "head_type": "ridge",
+                "fusion_weights": "auto"}
     pres_by_seed = [eval_new_class_preservation(model, seed=s) for s in seeds]
+    pres_prod_by_seed = [
+        eval_new_class_preservation(model, seed=s, config=dict(PROD_CFG))
+        for s in seeds]
     ref_pres_by_seed = [
         eval_new_class_preservation_reference_protocol(model, seed=s)
         for s in seeds]
@@ -427,10 +471,16 @@ def main():
         "reference_protocol_seed_spread": seed_spread(ref_pres_by_seed),
         "ours_heldout_protocol": pres_by_seed[0],
         "ours_heldout_seed_spread": seed_spread(pres_by_seed),
+        "ours_heldout_production": pres_prod_by_seed[0],
+        "ours_heldout_production_seed_spread": seed_spread(pres_prod_by_seed),
         "ours_heldout_finetuned": ft_row(
             "new_class_preservation", "ours_heldout_finetuned",
             lambda: eval_new_class_preservation(
                 model, finetune_steps=150, seed=s0)),
+        "ours_heldout_production_finetuned": ft_row(
+            "new_class_preservation", "ours_heldout_production_finetuned",
+            lambda: eval_new_class_preservation(
+                model, finetune_steps=150, seed=s0, config=dict(PROD_CFG))),
         "reference_baseline": {
             "note": "issue #53 regression threshold "
                     "(tests/test_new_class_accuracy_preservation.py:188-198). "

@@ -396,6 +396,10 @@ def main():
                     help="train on a seeded random row-subsample of the "
                          "packed corpus (scaling-curve points)")
     ap.add_argument("--checkpoint-every", type=int, default=5000)
+    ap.add_argument("--snapshot-steps", default="",
+                    help="comma-separated step marks: save step-stamped "
+                         "checkpoint dirs ({out}-s{N}) for downstream "
+                         "checkpoint selection (round-3 protocol)")
     ap.add_argument("--vocab-trainer", default="rust",
                     choices=["rust", "first-party"])
     ap.add_argument("--contrastive-steps", type=int, default=4000,
@@ -484,6 +488,11 @@ def main():
             pretrain.save_hf_checkpoint(params, cfg, out_dir, vocab,
                                         extra_config={"ac_tiny_step": step})
             (out_dir / "loss_log.json").write_text(json.dumps(losses))
+        for s in (int(x) for x in args.snapshot_steps.split(",") if x):
+            if step - n < s <= step:
+                pretrain.save_hf_checkpoint(
+                    params, cfg, Path(f"{args.out}-s{s}"), vocab,
+                    extra_config={"ac_tiny_step": step})
 
     if args.mlm_out:
         pretrain.save_hf_checkpoint(params, cfg, Path(args.mlm_out), vocab,

@@ -95,6 +95,12 @@ def main():
     ap.add_argument("--finetune-steps", type=int, default=0,
                     help="SupCon encoder fine-tuning steps "
                          "(classifier.finetune_encoder); 0 = frozen encoder")
+    ap.add_argument("--lexical-dim", type=int, default=0,
+                    help="hashed TF-IDF lexical channel width (0 = dense "
+                         "only; 8192 = production zoo config)")
+    ap.add_argument("--head-type", default="mlp", choices=["mlp", "ridge"])
+    ap.add_argument("--fusion-weights", default="history",
+                    choices=["history", "auto"])
     ap.add_argument("--seed", type=int, default=42,
                     help="classifier seed (head init + training shuffle)")
     ap.add_argument("--json-out", default=None)
@@ -115,7 +121,14 @@ def main():
     repo = _P(__file__).resolve().parent.parent
     if not _P(model).exists() and (repo / model).exists():
         model = str(repo / model)   # repo-relative checkpoint path
-    clf = AdaptiveClassifier(model, seed=args.seed)
+    cfg = {}
+    if args.lexical_dim:
+        cfg["lexical_dim"] = args.lexical_dim
+    if args.head_type != "mlp":
+        cfg["head_type"] = args.head_type
+    if args.fusion_weights != "history":
+        cfg["fusion_weights"] = args.fusion_weights
+    clf = AdaptiveClassifier(model, seed=args.seed, config=cfg or None)
     clf.add_examples(
         [format_input(d["context"], d["question"], d["answer"]) for d in train],
         [d["label"] for d in train],
