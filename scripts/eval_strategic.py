@@ -71,6 +71,38 @@ def load_real():
     return train, clean, adv
 
 
+def load_axis(name: str):
+    """Any label-block dataset in data/ (moderation, spam, …) as a
+    strategic scenario.  The text-attack arm reuses the typo/distractor
+    machinery; the headline signature row is the embedding-space gaming
+    protocol (reference strategic.py:284-358), which is attack-family
+    independent — this loader exists for the round-4 foolability-boundary
+    sweep (harder class boundaries than sentiment, e.g. moderation
+    ok-vs-toxic)."""
+    blob = json.loads((REPO / "data" / f"{name}.json").read_text())
+    rng = random.Random(42)
+    train = [{"text": t, "label": l, "adversarial": False}
+             for l, ts in sorted(blob["train"].items()) for t in ts]
+    clean = [{"text": t, "label": l, "adversarial": False}
+             for l, ts in sorted(blob["test"].items()) for t in ts]
+    adv = [{"text": attack(d["text"], rng), "label": d["label"],
+            "adversarial": True} for d in clean]
+    return train, clean, adv
+
+
+def cap_per_class(train, n: int):
+    """Deterministically keep the first ``n`` rows per label — the
+    reduced-train-data boundary scenario (at what data scale does the
+    head become foolable?)."""
+    kept, seen = [], {}
+    for d in train:
+        c = seen.get(d["label"], 0)
+        if c < n:
+            kept.append(d)
+            seen[d["label"]] = c + 1
+    return kept
+
+
 #: jargon wrappers a strategic user prepends to a simple query to game the
 #: complexity router into giving them the expensive model
 _GAMING_WRAPPERS = [
@@ -167,6 +199,9 @@ def main():
                     choices=["history", "auto"],
                     help="prototype/head fusion weighting for BOTH arms "
                          "(auto = fold-fitted share; production config)")
+    ap.add_argument("--train-per-class", type=int, default=0,
+                    help="cap training rows per label (0 = all) — the "
+                         "reduced-data foolability-boundary scenario")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
@@ -176,6 +211,8 @@ def main():
         train, clean, adv = load_real()
     elif args.data == "router-gaming":
         train, clean, adv = load_router_gaming()
+    elif (REPO / "data" / f"{args.data}.json").exists():
+        train, clean, adv = load_axis(args.data)
     else:
         data = (synthetic_dataset() if args.data == "synthetic"
                 else [json.loads(l) for l in open(args.data)])
@@ -184,6 +221,9 @@ def main():
         test = data[split:]
         clean = [d for d in test if not d["adversarial"]]
         adv = [d for d in test if d["adversarial"]]
+
+    if args.train_per_class:
+        train = cap_per_class(train, args.train_per_class)
 
     model = args.model
     if not Path(model).exists() and (REPO / model).exists():
