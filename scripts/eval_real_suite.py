@@ -322,6 +322,40 @@ def main():
             "negative result about the mechanism's scope."),
     }
 
+    # foolability boundary (round-4 task #3): at what train-data scale does
+    # the flagship encoder's head become gameable on real text?  The sweep
+    # runs the reference's OWN embedding-space protocol
+    # (StrategicEvaluator.evaluate_robustness) on the moderation set
+    # (harder 3-way ok/toxic/pii boundary) with the train set capped.
+    boundary_cells = {}
+    for tpc in (5, 10, 20, 0):
+        cell = run_json("eval_strategic.py",
+                        ["--model", model, "--data", "moderation",
+                         "--train-per-class", str(tpc), "--seed", str(s0)],
+                        tmp / f"boundary_moderation_{tpc}.json")
+        boundary_cells[f"train_per_class_{tpc or 'all'}"] = {
+            "n_train": cell["n_train"],
+            "regular_robustness_score":
+                cell["gaming_protocol"]["regular"]["robustness_score"],
+            "strategic_robustness_score":
+                cell["gaming_protocol"]["strategic"]["robustness_score"],
+            "regular_clean_acc": cell["regular"]["clean_acc"],
+            "strategic_clean_acc": cell["strategic"]["clean_acc"],
+        }
+    report["strategic_foolability_boundary"] = {
+        "ours": boundary_cells,
+        "note": (
+            "Measured scope of the strategic mechanism at flagship encoder "
+            "quality (round-3 'what's missing' #2): on the harder real-data "
+            "moderation boundary the reference signature — regular "
+            "robustness_score materially >0, strategic ~0 — appears once "
+            "training data is scarce (~5 rows/class), decays through "
+            "10-20 rows/class, and vanishes at full data where the head is "
+            "unfoolable. Sentiment (2-way) never shows it at any size: the "
+            "embedding-space vulnerability the mechanism patches is a "
+            "low-data multi-class phenomenon for this encoder."),
+    }
+
     signature = run_json("eval_strategic.py",
                          ["--model", "checkpoints/ac-tiny",
                           "--data", "synthetic", "--seed", str(s0)],

@@ -14,8 +14,10 @@ Usage:
 
 import argparse
 import json
+import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 from ab_pool_layer import DATASETS, eval_depth
 
 
