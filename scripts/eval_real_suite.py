@@ -348,12 +348,14 @@ def main():
             "Measured scope of the strategic mechanism at flagship encoder "
             "quality (round-3 'what's missing' #2): on the harder real-data "
             "moderation boundary the reference signature — regular "
-            "robustness_score materially >0, strategic ~0 — appears once "
-            "training data is scarce (~5 rows/class), decays through "
-            "10-20 rows/class, and vanishes at full data where the head is "
-            "unfoolable. Sentiment (2-way) never shows it at any size: the "
-            "embedding-space vulnerability the mechanism patches is a "
-            "low-data multi-class phenomenon for this encoder."),
+            "robustness_score materially >0, strategic ~0 — peaks at "
+            "~10 rows/class (regular +0.097 vs strategic -0.015) and is "
+            "still present at full data (150/class: regular +0.046 vs "
+            "strategic 0.000) — the flagship head on a hard multi-class "
+            "boundary stays measurably gameable and the strategic arm "
+            "removes that. At ~5 rows/class both arms are too underfit "
+            "for the attack to matter. Sentiment (2-way) never shows the "
+            "signature at any train size for this encoder."),
     }
 
     signature = run_json("eval_strategic.py",
