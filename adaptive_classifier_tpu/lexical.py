@@ -87,14 +87,27 @@ def _grams(text: str, kind: str = "word") -> List[str]:
     return out
 
 
-def _fold_machinery(labels: Sequence[int]):
-    """Alternating per-class 2-fold split + ridge-probe fold scorer."""
+def _fold_machinery(labels: Sequence[int], seed: int = None):
+    """Per-class 2-fold split + ridge-probe fold scorer.
+
+    ``seed=None`` keeps the original deterministic alternating-occurrence
+    split; an integer seed shuffles the within-class fold assignment so
+    callers can average the probe over repeated splits — round 4 measured
+    the single-split probe mis-ranking gram kinds by more than the true
+    gap (word 0.770 picked over char 0.795 on sentiment at dim 32768)
+    purely from split variance.
+    """
     y = np.asarray(labels)
     order = np.zeros(len(y), np.int64)
     seen: Dict[int, int] = {}
     for i, c in enumerate(y):
         order[i] = seen.get(int(c), 0)
         seen[int(c)] = int(order[i]) + 1
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+        for c in seen:
+            idx = np.flatnonzero(y == c)
+            order[idx] = rng.permutation(len(idx))
     counts = np.asarray([seen[int(c)] for c in y])
     half_b = (order % 2 == 1) | (counts <= 1)
     half_a = (order % 2 == 0)
@@ -128,25 +141,38 @@ def _fold_machinery(labels: Sequence[int]):
     return half_a, half_b, fold_acc
 
 
+#: fold-split seeds averaged by the probe (None = the deterministic
+#: alternating split, kept first for continuity with rounds 2-3)
+PROBE_SPLITS = (None, 1, 2)
+
+
 def _cv_acc(enc: np.ndarray, lex: np.ndarray, labels: Sequence[int],
             w: float) -> float:
-    """2-fold ridge-probe balanced accuracy of the composed features."""
-    half_a, half_b, fold_acc = _fold_machinery(labels)
+    """2-fold ridge-probe balanced accuracy of the composed features,
+    averaged over PROBE_SPLITS repeated fold splits."""
     f = np.concatenate([enc, w * lex], axis=1) / math.sqrt(1 + w * w)
-    return 0.5 * (fold_acc(f, half_a, half_b) + fold_acc(f, half_b, half_a))
+    scores = []
+    for s in PROBE_SPLITS:
+        half_a, half_b, fold_acc = _fold_machinery(labels, seed=s)
+        scores.append(0.5 * (fold_acc(f, half_a, half_b)
+                             + fold_acc(f, half_b, half_a)))
+    return float(np.mean(scores))
 
 
 def _sweep_weights(enc: np.ndarray, lex: np.ndarray, labels: Sequence[int],
                    grid: Sequence[float]) -> tuple:
     """Best (weight, cv_acc) over the grid; ties prefer the weight nearest
-    1.0 (log distance) — see resolve_weight's docstring for why."""
-    half_a, half_b, fold_acc = _fold_machinery(labels)
+    1.0 (log distance) — see resolve_weight's docstring for why.  Scores
+    average over PROBE_SPLITS fold splits (machinery built once per split,
+    reused across the grid)."""
+    folds = [_fold_machinery(labels, seed=s) for s in PROBE_SPLITS]
     pref = sorted(grid, key=lambda w: abs(math.log((w or 1e-3) / 1.0)))
     best_w, best_acc = pref[0], -1.0
     for w in pref:
         f = np.concatenate([enc, w * lex], axis=1) / math.sqrt(1 + w * w)
-        acc = 0.5 * (fold_acc(f, half_a, half_b)
-                     + fold_acc(f, half_b, half_a))
+        acc = float(np.mean([
+            0.5 * (fold_acc(f, half_a, half_b) + fold_acc(f, half_b, half_a))
+            for half_a, half_b, fold_acc in folds]))
         if acc > best_acc + 1e-9:
             best_w, best_acc = float(w), acc
     return best_w, best_acc
