@@ -354,8 +354,11 @@ def main():
             "strategic 0.000) — the flagship head on a hard multi-class "
             "boundary stays measurably gameable and the strategic arm "
             "removes that. At ~5 rows/class both arms are too underfit "
-            "for the attack to matter. Sentiment (2-way) never shows the "
-            "signature at any train size for this encoder."),
+            "for the attack to matter. On sentiment the v2 encoder shows "
+            "the signature at FULL data with the dense default config "
+            "(strategic.ours: regular +0.115 vs strategic 0.000) — the "
+            "round-3 'sentiment is never foolable' scope statement was an "
+            "ac-base artifact, not a property of the task."),
     }
 
     signature = run_json("eval_strategic.py",
