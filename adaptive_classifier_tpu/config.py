@@ -174,6 +174,27 @@ class ModelConfig:
         self.fused_topk_min_classes = g("fused_topk_min_classes", 16384)
         #: number of candidates for the strategic best-response sweep
         self.strategic_num_candidates = g("strategic_num_candidates", 50)
+        #: strategic-aware closed-form refit rounds for head_type="ridge".
+        #: The reference's strategic defense is SGD on the head
+        #: (classifier.py:1602-1647), but a ridge head is REPLACED by the
+        #: closed-form solution on every retrain — SGD perturbations are
+        #: wiped (round-4 finding: production gaming robustness 0.065 →
+        #: 0.065, zero gain).  Instead each ridge refit itself iterates:
+        #: solve → compute the batched best response of every training row
+        #: against the solved head → re-solve on the original rows PLUS the
+        #: best-response points (same labels) — the defense is part of the
+        #: solution, so no later refit can wipe it.  0 disables (plain
+        #: ridge even in strategic mode).
+        self.strategic_ridge_rounds = g("strategic_ridge_rounds", 3)
+        #: augment head training with a character-typo'd copy of every
+        #: stored text (label-preserving, deterministic per text).  Hardens
+        #: the head — in particular the lexical gram weights — against
+        #: character-level attacks: a typo'd charged word still shares most
+        #: char grams with its clean form, and the augmented fit teaches
+        #: the head to score those shared grams instead of the exact
+        #: surface form.  Head-only: prototypes/memory keep exact reference
+        #: semantics.  Off by default (reference parity).
+        self.head_typo_augment = g("head_typo_augment", False)
         #: hashed TF-IDF lexical channel width (lexical.py; beyond-reference,
         #: 0 = off = exact reference semantics).  When on, embeddings are
         #: [encoder, w·lexical]/√(1+w²) and embedding_dim grows by this.
@@ -251,6 +272,8 @@ class ModelConfig:
             "pallas_knn_min_classes": self.pallas_knn_min_classes,
             "fused_topk_min_classes": self.fused_topk_min_classes,
             "strategic_num_candidates": self.strategic_num_candidates,
+            "strategic_ridge_rounds": self.strategic_ridge_rounds,
+            "head_typo_augment": self.head_typo_augment,
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
             "incremental_distill_lambda": self.incremental_distill_lambda,

@@ -109,6 +109,30 @@ class StrategicCostFunction:
         x = jnp.asarray(x, jnp.float32)
         return self.compute_best_response_batch(x[None, :], f, key)[0]
 
+    def compute_best_response_chunked(
+        self,
+        x: jax.Array,                     # [B, D]
+        f: Callable[[jax.Array], jax.Array],
+        key: Optional[jax.Array] = None,
+        chunk: int = 256,
+    ) -> jax.Array:
+        """``compute_best_response_batch`` in row chunks.
+
+        The candidate tensor is ``[B, K, D]`` — at production dims
+        (D = 33k composed, K = 50) an unchunked sweep over a 1k-row
+        replay store would transiently allocate tens of GB; chunking
+        bounds it at ``chunk·K·D`` while producing identical rows (the
+        sweep is deterministic; the Gaussian filler only exists for
+        D < K/10, where chunking is unnecessary anyway)."""
+        B = x.shape[0]
+        if B <= chunk:
+            return self.compute_best_response_batch(x, f, key)
+        parts = []
+        for s in range(0, B, chunk):
+            sub = None if key is None else jax.random.fold_in(key, s)
+            parts.append(self.compute_best_response_batch(x[s:s + chunk], f, sub))
+        return jnp.concatenate(parts, axis=0)
+
 
 class SeparableCostFunction(StrategicCostFunction):
     """c(x, y) = max{0, c2·y − c1·x} (reference strategic.py:41-123)."""

@@ -120,6 +120,42 @@ def test_overload_shedding_at_admission(server_clf):
     server.stop()
 
 
+def test_backpressure_engages_under_live_overload(server_clf):
+    """The round-4 bench failure mode, exercised on purpose: a live server
+    offered far more than it can drain must SHED at admission (bounded
+    queue) rather than build a standing queue — and every request must
+    resolve one way or the other (served, shed, or expired; never hung)."""
+    from adaptive_classifier_tpu.serving import (
+        DeadlineExceeded, ServerOverloaded)
+
+    server = BatchingClassifierServer(server_clf, max_batch_size=4,
+                                      max_wait_ms=1, max_queue_depth=8,
+                                      num_workers=1)
+    with server:
+        n = 200
+        futs = [server.submit_predict(f"cat:{i}", k=1, deadline_ms=30_000)
+                for i in range(n)]
+        served = shed = expired = 0
+        for f in futs:
+            exc = f.exception(timeout=60)
+            if exc is None:
+                served += 1
+            elif isinstance(exc, ServerOverloaded):
+                shed += 1
+            elif isinstance(exc, DeadlineExceeded):
+                expired += 1
+            else:  # pragma: no cover
+                raise exc
+        assert served + shed + expired == n
+        assert shed > 0, "admission control never engaged under overload"
+        assert served > 0
+        # the queue is bounded — at most depth + one in-flight batch ever
+        # waits, so the standing-queue signature (everything served, all
+        # with ~equal worst-case latency) is structurally impossible
+        assert server.requests_shed == shed
+        assert server.stats()["queue_depth"] == 0
+
+
 def test_multi_tenant_routes_by_model(synth_classifier_factory):
     from adaptive_classifier_tpu.serving import MultiTenantServer
 

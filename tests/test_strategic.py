@@ -242,6 +242,127 @@ def test_periodic_strategic_training_trigger():
     assert calls, "strategic training did not trigger at frequency=1"
 
 
+@pytest.fixture(scope="module")
+def strategic_ridge_clf(synth_classifier_factory):
+    clf = synth_classifier_factory(
+        head_type="ridge", fusion_weights="auto",
+        enable_strategic_mode=True, cost_function_type="linear",
+        cost_coefficients=[0.15] * 128, strategic_training_frequency=1)
+    clf.add_examples(
+        [f"cls{i}:{j}" for i in range(3) for j in range(8)],
+        [f"cls{i}" for i in range(3) for _ in range(8)])
+    return clf
+
+
+def _br_flips(clf, texts, labels):
+    """Best-response flip count of clf's own head on the given rows under
+    the classifier's trained cost model — the gaming-protocol failure mode
+    counted directly."""
+    emb = jnp.asarray(clf._get_embeddings(texts))
+    y = np.asarray([clf.label_to_id[l] for l in labels])
+    logits_fn = clf._masked_logits_fn()
+    br = clf.strategic_cost_function.compute_best_response_batch(
+        emb, lambda z: jax.nn.softmax(logits_fn(z), axis=-1),
+        key=jax.random.PRNGKey(0))
+    clean = np.asarray(jnp.argmax(logits_fn(emb), axis=-1))
+    gamed = np.asarray(jnp.argmax(logits_fn(br), axis=-1))
+    return int(np.sum((gamed != clean))), clean, gamed
+
+
+def test_strategic_ridge_head_is_br_invariant(strategic_ridge_clf):
+    """The strategic-aware ridge refit (classifier._strategic_ridge_refit)
+    must produce a head whose prediction cannot be changed by the cost
+    model's best response — on stored rows AND on fresh queries (the
+    round-4 failure was exactly fresh-point flips: an interpolating ridge
+    head has no train flips while test points still flip)."""
+    clf = strategic_ridge_clf
+    train_texts = [f"cls{i}:{j}" for i in range(3) for j in range(8)]
+    train_labels = [f"cls{i}" for i in range(3) for _ in range(8)]
+    flips, _, _ = _br_flips(clf, train_texts, train_labels)
+    assert flips == 0
+    fresh = [f"cls{i}:q{j}" for i in range(3) for j in range(6)]
+    fresh_l = [f"cls{i}" for i in range(3) for _ in range(6)]
+    flips, _, _ = _br_flips(clf, fresh, fresh_l)
+    assert flips == 0
+
+
+def test_strategic_ridge_defense_survives_refit(strategic_ridge_clf):
+    """Every ridge retrain re-runs the strategic-aware solve, so adding
+    examples (which rebuilds the head from scratch, reference
+    classifier.py:1428) cannot wipe the defense — unlike SGD strategic
+    training, which the next closed-form refit replaced (round-4 weak #2)."""
+    clf = strategic_ridge_clf
+    clf.add_examples([f"cls0:n{i}" for i in range(4)], ["cls0"] * 4)
+    fresh = [f"cls{i}:r{j}" for i in range(3) for j in range(6)]
+    fresh_l = [f"cls{i}" for i in range(3) for _ in range(6)]
+    flips, _, _ = _br_flips(clf, fresh, fresh_l)
+    assert flips == 0
+
+
+def test_strategic_ridge_keeps_clean_accuracy(strategic_ridge_clf,
+                                              synth_classifier_factory):
+    """The augmented solve must not cost clean accuracy vs plain ridge on
+    the same data (round-4's dual blend cost 6.5pp clean for nothing)."""
+    plain = synth_classifier_factory(head_type="ridge", fusion_weights="auto")
+    plain.add_examples(
+        [f"cls{i}:{j}" for i in range(3) for j in range(8)],
+        [f"cls{i}" for i in range(3) for _ in range(8)])
+    fresh = [f"cls{i}:q{j}" for i in range(3) for j in range(6)]
+    fresh_l = [f"cls{i}" for i in range(3) for _ in range(6)]
+
+    def acc(c):
+        # dual blend for the strategic arm — predict()'s real semantics
+        preds = (c._predict_dual_batch(fresh, 1) if c.strategic_mode
+                 else c._predict_regular_batch(fresh, 1))
+        return np.mean([p[0][0] == l for p, l in zip(preds, fresh_l)])
+
+    assert acc(strategic_ridge_clf) >= acc(plain) - 1e-9
+
+
+def test_perform_strategic_training_noop_on_ridge(strategic_ridge_clf):
+    """SGD strategic training is folded into the ridge refit; the periodic
+    pass must not touch a ridge head (it would be wiped anyway)."""
+    before = jax.tree.leaves(strategic_ridge_clf.head_params)
+    strategic_ridge_clf._perform_strategic_training()
+    after = jax.tree.leaves(strategic_ridge_clf.head_params)
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+def test_typo_variant_deterministic_per_text():
+    from adaptive_classifier_tpu.classifier import AdaptiveClassifier as AC
+
+    t = "this film was absolutely wonderful and heartwarming"
+    v1 = AC._typo_variant(t, 42)
+    v2 = AC._typo_variant(t, 42)
+    assert v1 == v2
+    assert v1 != AC._typo_variant(t, 43)          # seed-dependent
+    assert AC._typo_variant("hi", 42) == "hi"     # short words untouched
+    # swaps stay inside words: same word count, same word lengths
+    assert [len(w) for w in v1.split(" ")] == [len(w) for w in t.split(" ")]
+
+
+def test_head_typo_augment_trains_on_augmented_rows(synth_classifier_factory):
+    """head_typo_augment=True adds label-preserving typo'd-copy rows to the
+    head fit only — memory/prototypes stay reference-exact."""
+    texts = [f"alpha:{i}" for i in range(6)] + [f"beta:{i}" for i in range(6)]
+    labels = ["alpha"] * 6 + ["beta"] * 6
+    plain = synth_classifier_factory(head_type="ridge")
+    plain.add_examples(texts, labels)
+    aug = synth_classifier_factory(head_type="ridge", head_typo_augment=True)
+    aug.add_examples(texts, labels)
+    # memory identical (head-only augmentation)
+    np.testing.assert_allclose(np.asarray(aug.memory.state.proto),
+                               np.asarray(plain.memory.state.proto))
+    assert aug.memory.texts == plain.memory.texts
+    # head saw different rows
+    assert not np.allclose(np.asarray(aug.head_params["out"]["w"]),
+                           np.asarray(plain.head_params["out"]["w"]))
+    # and still predicts correctly
+    preds = aug.predict_batch(["alpha:q", "beta:q"], k=1)
+    assert [p[0][0] for p in preds] == ["alpha", "beta"]
+
+
 @pytest.mark.slow
 def test_gaming_protocol_signature(synth_classifier_factory):
     """The reference's OWN robustness protocol (evaluate_robustness, gaming
