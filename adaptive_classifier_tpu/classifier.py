@@ -582,10 +582,16 @@ class AdaptiveClassifier:
                  .at[:n].set(x).at[n:n_aug].set(ext))
         l_aug = (jnp.zeros((cap_aug,), jnp.int32)
                  .at[:n].set(y).at[n:n_aug].set(ext_lbl))
+        # real rows and best-response rows at full weight; the action-space
+        # block down-weighted (it exists to flatten attacker-movable
+        # directions, not to outvote the data — at full weight it cost
+        # 1.5pp clean head accuracy on production sentiment)
+        w_aug = (jnp.ones((cap_aug,), jnp.float32)
+                 .at[n:n_aug].set(self.config.strategic_ridge_ext_weight))
         filled = n_aug
         params = training.ridge_head_params(
             e_aug, l_aug, jnp.arange(cap_aug) < filled, cap,
-            lam=lam, keep_from=self.head_params)
+            lam=lam, keep_from=self.head_params, sample_weight=w_aug)
 
         # -- best-response fixed-point iteration on top --------------------
         for r in range(rounds):

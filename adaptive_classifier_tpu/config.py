@@ -186,6 +186,12 @@ class ModelConfig:
         #: solution, so no later refit can wipe it.  0 disables (plain
         #: ridge even in strategic mode).
         self.strategic_ridge_rounds = g("strategic_ridge_rounds", 3)
+        #: LS weight of the action-space (extreme-sweep) rows in the
+        #: strategic ridge solve, relative to 1.0 for real training rows.
+        #: Full weight costs clean head accuracy (measured: 1.5pp on
+        #: production sentiment); 0.5 keeps the flatness constraint while
+        #: letting real rows dominate the fit.
+        self.strategic_ridge_ext_weight = g("strategic_ridge_ext_weight", 0.5)
         #: augment head training with a character-typo'd copy of every
         #: stored text (label-preserving, deterministic per text).  Hardens
         #: the head — in particular the lexical gram weights — against
@@ -273,6 +279,7 @@ class ModelConfig:
             "fused_topk_min_classes": self.fused_topk_min_classes,
             "strategic_num_candidates": self.strategic_num_candidates,
             "strategic_ridge_rounds": self.strategic_ridge_rounds,
+            "strategic_ridge_ext_weight": self.strategic_ridge_ext_weight,
             "head_typo_augment": self.head_typo_augment,
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,

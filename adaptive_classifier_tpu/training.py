@@ -394,6 +394,7 @@ def ridge_solve(
     valid: jax.Array,        # [N_cap] bool
     class_capacity: int,
     lam: float = 1.0,
+    sample_weight: Optional[jax.Array] = None,   # [N_cap] ≥0 (None = 1.0)
 ) -> jax.Array:
     """Closed-form multi-class ridge → linear head weights ``W [D, C_cap]``.
 
@@ -417,6 +418,11 @@ def ridge_solve(
     F = jnp.where(valid[:, None], emb.astype(jnp.float32), 0.0)
     Y = jax.nn.one_hot(jnp.clip(labels, 0), class_capacity, dtype=jnp.float32)
     Y = jnp.where(valid[:, None], Y, 0.0)
+    if sample_weight is not None:
+        # weighted LS: min Σ wᵢ‖xᵢW − yᵢ‖² ≡ scaling row (xᵢ, yᵢ) by √wᵢ
+        s = jnp.sqrt(jnp.maximum(sample_weight, 0.0))[:, None]
+        F = F * s
+        Y = Y * s
     N, D = F.shape
     if N <= D:
         K = F @ F.T
@@ -427,11 +433,12 @@ def ridge_solve(
 
 
 def ridge_head_params(emb, labels, valid, class_capacity: int,
-                      lam: float = 1.0, keep_from=None):
+                      lam: float = 1.0, keep_from=None, sample_weight=None):
     """``ridge_solve`` packaged as linear HeadParams (hidden=[], zero bias
     to match the intercept-free probe).  ``keep_from`` carries auxiliary
     blocks (the lossy-replay ``skip`` probe) over from existing params."""
-    W = ridge_solve(emb, labels, valid, class_capacity, lam)
+    W = ridge_solve(emb, labels, valid, class_capacity, lam,
+                    sample_weight=sample_weight)
     params = {"hidden": [],
               "out": {"w": W, "b": jnp.zeros((class_capacity,), jnp.float32)}}
     if keep_from is not None and "skip" in keep_from:

@@ -61,18 +61,41 @@ def load_real(seed_per_class: int = 5):
     return train, blob["eval"], blob["cost"]
 
 
-def run_stream(clf, rows, cost, adapt: bool):
+def run_stream(clf, rows, cost, adapt: bool, explore: float = 0.0,
+               explore_margin: float = 0.65, seed: int = 42):
     """Route the eval stream query by query (the serving scenario); with
     adaptation, feed each outcome back before the next query.  Returns the
-    aggregate report plus per-query (pred, success) for paired analysis."""
+    aggregate report plus per-query (pred, success) for paired analysis.
+
+    ``explore`` > 0 enables cost-aware exploration on the ADAPTATION arm
+    (beyond-reference; VERDICT r4 #5 'cost-aware example selection'): the
+    reference's feedback loop only ever observes LOW routes, so a
+    conservative router can never learn that a HIGH-routed query was
+    actually cheap — the savings headroom is structurally unreachable.
+    With probability ``explore``, a MARGINAL high route (p(HIGH) <
+    ``explore_margin``) is probed on the cheap model instead; its outcome
+    feeds back like any LOW route.  Probing is confidence-gated exactly
+    because the cost matrix is asymmetric (strong 10 : weak 1): a marginal
+    HIGH prediction is where P(weak_ok) is highest and a probe failure
+    costs one query's quality, while a confirmed-cheap region repays 9
+    units per future query routed there."""
+    import random as _random
+
+    probe_rng = _random.Random(seed)
     routed_cost = 0.0
     successes = 0
     correct_route = 0
     fed = {"HIGH": [], "LOW": []}
     per_query = []
+    n_probes = 0
     for d in rows:
-        p = clf.predict(d["q"], k=1)
+        p = clf.predict(d["q"], k=2)
         pred = p[0][0] if p else "HIGH"
+        if (explore > 0 and adapt and pred == "HIGH"
+                and p[0][1] < explore_margin
+                and probe_rng.random() < explore):
+            pred = "LOW"   # cost-aware probe of a marginal high route
+            n_probes += 1
         routed_cost += cost["strong"] if pred == "HIGH" else cost["weak"]
         success = True if pred == "HIGH" else bool(d["weak_ok"])
         successes += success
@@ -92,12 +115,15 @@ def run_stream(clf, rows, cost, adapt: bool):
                 fed = {"HIGH": [], "LOW": []}
     n = len(rows)
     all_strong = n * cost["strong"]
-    return {
+    report = {
         "route_accuracy": round(correct_route / n, 4),
         "success_rate": round(successes / n, 4),
         "cost_savings_pct": round(100 * (1 - routed_cost / all_strong), 2),
         "efficiency_ratio": round((successes / n) / (routed_cost / all_strong), 3),
-    }, per_query
+    }
+    if explore > 0 and adapt:
+        report["n_probes"] = n_probes
+    return report, per_query
 
 
 def mcnemar_exact(b: int, c: int) -> float:
@@ -145,6 +171,17 @@ def main():
     ap.add_argument("--model", default="checkpoints/ac-tiny")
     ap.add_argument("--adapt", action="store_true",
                     help="also run the adaptation pass (reference w/ adaptation)")
+    ap.add_argument("--explore", type=float, default=0.0,
+                    help="cost-aware exploration rate on the adaptation arm "
+                         "(probe marginal HIGH routes on the cheap model; "
+                         "0 = reference-matched feedback loop)")
+    ap.add_argument("--explore-margin", type=float, default=0.65,
+                    help="probe only HIGH routes with confidence below this")
+    ap.add_argument("--head-type", default="mlp", choices=["mlp", "ridge"],
+                    help="head family for BOTH arms")
+    ap.add_argument("--fusion-weights", default="history",
+                    choices=["history", "auto"],
+                    help="fusion weighting for BOTH arms")
     ap.add_argument("--seed", type=int, default=42,
                     help="classifier seed (head init + training shuffle)")
     ap.add_argument("--json-out", default=None)
@@ -165,18 +202,31 @@ def main():
     if not Path(model).exists() and (REPO / model).exists():
         model = str(REPO / model)   # repo-relative checkpoint path
 
+    cfg = {}
+    if args.head_type != "mlp":
+        cfg["head_type"] = args.head_type
+    if args.fusion_weights != "history":
+        cfg["fusion_weights"] = args.fusion_weights
+
     def fresh():
-        clf = AdaptiveClassifier(model, seed=args.seed)
+        clf = AdaptiveClassifier(model, seed=args.seed,
+                                 config=dict(cfg) or None)
         clf.add_examples([d["q"] for d in train], [d["label"] for d in train])
         return clf
 
     report = {"data": args.data, "model": args.model, "seed": args.seed,
               "n_train": len(train), "n_eval": len(eval_rows)}
+    if cfg:
+        report["head_config"] = dict(cfg)
+    if args.explore:
+        report["explore"] = {"rate": args.explore,
+                             "margin": args.explore_margin}
     report["without_adaptation"], base_pq = run_stream(
         fresh(), eval_rows, cost, adapt=False)
     if args.adapt:
         report["with_adaptation"], adapt_pq = run_stream(
-            fresh(), eval_rows, cost, adapt=True)
+            fresh(), eval_rows, cost, adapt=True, explore=args.explore,
+            explore_margin=args.explore_margin, seed=args.seed)
         report["cost_savings_gain_pp"] = round(
             report["with_adaptation"]["cost_savings_pct"]
             - report["without_adaptation"]["cost_savings_pct"], 2)

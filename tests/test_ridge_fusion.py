@@ -57,6 +57,27 @@ def test_ridge_solve_padded_rows_are_exact_noops():
     np.testing.assert_allclose(W_pad, W_tight, rtol=2e-3, atol=2e-4)
 
 
+def test_ridge_solve_sample_weight_equals_row_duplication():
+    """Integer sample weights must match physically duplicating the rows
+    (the weighted-LS identity the strategic refit's down-weighted
+    action-space block relies on); weight 0 must match dropping the row."""
+    rng = np.random.default_rng(2)
+    D, C, n = 12, 8, 9
+    F = rng.standard_normal((n, D)).astype(np.float32)
+    y = rng.integers(0, 3, n)
+    w = np.asarray([2.0, 1.0, 1.0, 3.0, 1.0, 2.0, 1.0, 1.0, 0.0], np.float32)
+    W_w = np.asarray(training.ridge_solve(
+        jnp.asarray(F), jnp.asarray(y), jnp.ones(n, bool), C, 1.0,
+        sample_weight=jnp.asarray(w)))
+    # physically duplicate rows per weight
+    reps = w.astype(int)
+    Fd = np.repeat(F, reps, axis=0)
+    yd = np.repeat(y, reps)
+    W_d = np.asarray(training.ridge_solve(
+        jnp.asarray(Fd), jnp.asarray(yd), jnp.ones(len(yd), bool), C, 1.0))
+    np.testing.assert_allclose(W_w, W_d, rtol=2e-3, atol=2e-4)
+
+
 def test_ridge_head_params_linear_and_keeps_skip():
     rng = np.random.default_rng(2)
     F = rng.standard_normal((20, 8)).astype(np.float32)
