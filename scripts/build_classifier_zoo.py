@@ -93,6 +93,42 @@ def dataset_specs():
     return specs
 
 
+def fold_cv_accuracy(model: str, rows, cfg, seed: int = 42) -> float:
+    """2-fold CV balanced accuracy of the FULL pipeline under ``cfg``.
+
+    Per-task config selection (round-5, VERDICT r4 weak #9): the zoo already
+    auto-selects lexical grams/weight per task inside the classifier; this
+    extends the same train-fold philosophy to the WHOLE config (head type,
+    fusion mode, lexical on/off), scored by the real decision rule
+    (``predict_batch(k=1)`` on a held-out train fold) — so a task where the
+    lexical/ridge stack measures below the dense reference config
+    (hallucination, round-4) ships the dense config instead.  Selection
+    never sees the test split."""
+    from adaptive_classifier_tpu import AdaptiveClassifier
+    from adaptive_classifier_tpu.lexical import _fold_machinery
+
+    lid = {l: i for i, l in enumerate(sorted({l for _, l in rows}))}
+    y = [lid[l] for _, l in rows]
+    half_a, half_b, _ = _fold_machinery(y)
+    accs = []
+    for fit_m, val_m in ((half_a, half_b), (half_b, half_a)):
+        fit = [r for r, m in zip(rows, fit_m) if m]
+        val = [r for r, m in zip(rows, val_m) if m]
+        if not fit or not val:
+            continue
+        clf = AdaptiveClassifier(model, seed=seed,
+                                 config=dict(cfg) if cfg else None)
+        clf.add_examples([t for t, _ in fit], [l for _, l in fit])
+        preds = clf.predict_batch([t for t, _ in val], k=1)
+        per: dict = {}
+        for (t, l), p in zip(val, preds):
+            ok = 1 if p and p[0][0] == l else 0
+            a, b = per.get(l, (0, 0))
+            per[l] = (a + ok, b + 1)
+        accs.append(sum(a / b for a, b in per.values()) / len(per))
+    return sum(accs) / max(len(accs), 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="checkpoints/ac-tiny")
@@ -121,6 +157,13 @@ def main():
                     choices=["history", "auto"],
                     help="prototype/head fusion weighting (production "
                          "default: fold-fitted scalar share)")
+    ap.add_argument("--config-select", dest="config_select",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="per-task config selection: 2-fold train-CV of the "
+                         "full pipeline over {production, dense-reference} "
+                         "configs, ship the winner per task (ties prefer "
+                         "production). --no-config-select forces the CLI "
+                         "config everywhere (pre-round-5 behavior)")
     ap.add_argument("--only", default=None,
                     help="comma-separated dataset names: rebuild/probe just "
                          "these entries and merge into the existing "
@@ -159,7 +202,20 @@ def main():
     cfg = cfg or None
     for name, spec in specs.items():
         print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")
-        clf = AdaptiveClassifier(model, config=cfg)
+        task_cfg = cfg
+        config_report = None
+        if args.config_select and cfg:
+            candidates = {"production": cfg, "dense": None}
+            cv = {tag: round(fold_cv_accuracy(model, spec["train"], c), 4)
+                  for tag, c in candidates.items()}
+            # ties (within noise) prefer production — the measured-better
+            # global default; only a clear train-fold loss flips a task
+            choice = ("production"
+                      if cv["production"] >= cv["dense"] - 1e-9 else "dense")
+            task_cfg = candidates[choice]
+            config_report = {"choice": choice, "cv_balanced_acc": cv}
+            print(f"    config-select: {cv} -> {choice}")
+        clf = AdaptiveClassifier(model, config=task_cfg)
         clf.add_examples([t for t, _ in spec["train"]],
                          [l for _, l in spec["train"]])
         if args.finetune_steps > 0:
@@ -178,6 +234,12 @@ def main():
             "description": spec["description"],
             "n_train": len(spec["train"]), "n_test": len(spec["test"]),
         }
+        if config_report is not None:
+            entry["config_select"] = config_report
+            entry["head_type"] = (task_cfg or {}).get("head_type", "mlp")
+            entry["fusion_weights"] = (task_cfg or {}).get(
+                "fusion_weights", "history")
+            entry["lexical_dim"] = (task_cfg or {}).get("lexical_dim", 0)
         if clf.lexical is not None:
             entry["lexical_weight"] = clf.lexical.weight
             entry["lexical_grams"] = clf.lexical.grams

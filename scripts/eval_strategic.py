@@ -199,6 +199,10 @@ def main():
                     choices=["history", "auto"],
                     help="prototype/head fusion weighting for BOTH arms "
                          "(auto = fold-fitted share; production config)")
+    ap.add_argument("--head-typo-augment", action="store_true",
+                    help="config.head_typo_augment for BOTH arms — "
+                         "label-preserving typo'd-copy rows in the head fit "
+                         "(round-5 lexical typo-attack hardening)")
     ap.add_argument("--train-per-class", type=int, default=0,
                     help="cap training rows per label (0 = all) — the "
                          "reduced-data foolability-boundary scenario")
@@ -233,6 +237,8 @@ def main():
         lex_cfg["head_type"] = args.head_type
     if args.fusion_weights != "history":
         lex_cfg["fusion_weights"] = args.fusion_weights
+    if args.head_typo_augment:
+        lex_cfg["head_typo_augment"] = True
     regular = AdaptiveClassifier(model, seed=args.seed,
                                  config=dict(lex_cfg) or None)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])
