@@ -440,6 +440,12 @@ class AdaptiveClassifier:
             return
         n_cap = self.config.train_capacity(n_total)
         emb, lbl, valid = gather_training_set(self.memory.state, n_cap)
+        # keep the clean rows for the fusion-alpha fit below: fold-fitting
+        # fusion on typo'd rows mis-ranks the channels (measured: the
+        # augmented fit picked alpha=0.9 prototype share on sentiment and
+        # cost 4.5pp clean — the prototypes only look better because the
+        # head fold is graded on corrupted rows it was never meant to win)
+        clean_rows = (emb, lbl, valid)
         if self.config.head_typo_augment:
             emb, lbl, valid = self._typo_augment_rows(emb, lbl, valid)
         if self.config.head_type == "ridge":
@@ -464,7 +470,7 @@ class AdaptiveClassifier:
             self.head_params = result.params
         self.train_steps += 1
         if self.config.fusion_weights == "auto":
-            self._fit_fusion_alpha(emb, lbl, valid)
+            self._fit_fusion_alpha(*clean_rows)
 
     @staticmethod
     def _typo_variant(text: str, seed: int) -> str:

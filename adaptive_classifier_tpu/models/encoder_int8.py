@@ -98,6 +98,7 @@ def encoder_forward_int8(
     compute_dtype=jnp.bfloat16,
     use_fused_ffn: Optional[bool] = None,
     attn_impl: str = "einsum",
+    fuse_o_proj: Optional[bool] = None,
 ) -> jax.Array:
     """BERT-family forward with int8 matmuls → last_hidden_state (float32).
 
@@ -113,8 +114,16 @@ def encoder_forward_int8(
             jax.default_backend() == "tpu" and B * S >= 256
             and cfg.hidden_size % 128 == 0 and cfg.intermediate_size % 128 == 0
         )
+    if fuse_o_proj is None:
+        # candidate round-5 default, pending the real-HW A/B: folding the
+        # O-projection + both LayerNorms into the FFN kernel deletes four
+        # [M, D] HBM round-trips per layer — the non-kernel 4.1 ms/forward
+        # the round-4 trace attributed to XLA's o_proj lowering +
+        # LN/requant fusions (the round-2 STANDALONE o_proj kernel lost to
+        # XLA; this fuses it INTO the FFN program instead)
+        fuse_o_proj = False
     if use_fused_ffn:
-        from ..ops.ffn_int8 import ffn_block_int8
+        from ..ops.ffn_int8 import attn_ffn_block_int8, ffn_block_int8
         from ..ops.matmul_int8 import quant_matmul_int8
     emb = qparams["embeddings"]
     h = emb["word"][input_ids]
@@ -189,12 +198,28 @@ def encoder_forward_int8(
                 ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
                                  preferred_element_type=jnp.float32)
             ctx = ctx.reshape(B, S, H * Dh)
-        # O-projection stays on XLA's int8 lowering: the fused
-        # proj_residual_ln_int8 kernel measured 2.28 ms vs XLA's 1.14 ms at
-        # bert-base dims (M=16384) — one [D, D] matmul + elementwise is
-        # exactly what XLA fuses optimally, and the kernel's low arithmetic
-        # intensity per tile loses (kept as a tested building block,
-        # ops/matmul_int8.py; same verdict as the round-1 add+LN kernel)
+        if fuse_o_proj and use_fused_ffn:
+            # whole post-attention layer body in ONE Pallas program:
+            # O-projection, residual+LN, both FFN matmuls, final
+            # residual+LN — the projection output, both norms, and the
+            # [M, 4D] intermediate never touch HBM (ops/ffn_int8.py
+            # attn_ffn_block_int8; round-5 MFU item)
+            Dm = cfg.hidden_size
+            h = attn_ffn_block_int8(
+                ctx.reshape(B * S, Dm), x.reshape(B * S, Dm),
+                lp["o_w.int8"], lp["o_w.scale"], lp["o_b"],
+                lp["attn_ln_scale"], lp["attn_ln_bias"],
+                lp["ffn_in_w.int8"], lp["ffn_in_w.scale"], lp["ffn_in_b"],
+                lp["ffn_out_w.int8"], lp["ffn_out_w.scale"], lp["ffn_out_b"],
+                lp["ffn_ln_scale"], lp["ffn_ln_bias"], cfg.layer_norm_eps,
+            ).reshape(B, S, Dm)
+            return h, None
+
+        # O-projection on XLA's int8 lowering (the pre-round-5 path and
+        # the non-Pallas fallback): a STANDALONE fused o_proj kernel
+        # measured 2.28 ms vs XLA's 1.14 ms at bert-base dims in round 2 —
+        # one [D, D] matmul + elementwise is XLA's best fusion case; the
+        # round-5 win above fuses it INTO the FFN program instead
         attn_out = _q_matmul(ctx, lp["o_w.int8"], lp["o_w.scale"], lp["o_b"])
         h = _layer_norm(attn_out.astype(compute_dtype) + x,
                         lp["attn_ln_scale"], lp["attn_ln_bias"],
@@ -228,9 +253,11 @@ def encoder_forward_int8(
 def embed_texts_device_int8(qparams, input_ids, attention_mask, cfg,
                             compute_dtype=jnp.bfloat16,
                             pooling: str = "cls",
-                            attn_impl: str = "einsum") -> jax.Array:
+                            attn_impl: str = "einsum",
+                            fuse_o_proj: Optional[bool] = None) -> jax.Array:
     hidden = encoder_forward_int8(qparams, input_ids, attention_mask, cfg,
-                                  compute_dtype, attn_impl=attn_impl)
+                                  compute_dtype, attn_impl=attn_impl,
+                                  fuse_o_proj=fuse_o_proj)
     if pooling == "mean":
         m = attention_mask[:, :, None].astype(hidden.dtype)
         pooled = jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
