@@ -449,6 +449,15 @@ class AdaptiveClassifier:
         if self.config.head_typo_augment:
             emb, lbl, valid = self._typo_augment_rows(emb, lbl, valid)
         if self.config.head_type == "ridge":
+            if self.config.ridge_lambda == "auto":
+                # resolve λ ONCE by the train-fold probe (training.
+                # select_ridge_lambda) on the CLEAN rows, then freeze it in
+                # config (persisted; re-selection per retrain would let
+                # fold noise wobble the head)
+                lam, rep = training.select_ridge_lambda(
+                    *clean_rows, self._class_capacity)
+                self.config.ridge_lambda = lam
+                logger.info(f"ridge_lambda resolved to {lam} ({rep})")
             # closed-form exact fit — no epochs, no seed sensitivity
             self.head_params = training.ridge_head_params(
                 emb, lbl, valid, self._class_capacity,

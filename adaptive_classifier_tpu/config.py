@@ -238,7 +238,11 @@ class ModelConfig:
         #: the probe beat the full MLP+prototype fusion by 4pp on sentiment
         #: (0.79 vs 0.75) on identical features.
         self.head_type = g("head_type", "mlp")
-        #: L2 strength for head_type="ridge" (probe parity default)
+        #: L2 strength for head_type="ridge": float (1.0 = probe parity
+        #: default) or "auto" — resolved once at the first head fit by a
+        #: 2-fold train-CV sweep (training.select_ridge_lambda; λ is
+        #: feature-scale-dependent — measured, 32768-dim composed features
+        #: want 0.3 while 8192 is fine at 1.0), then frozen & persisted
         self.ridge_lambda = g("ridge_lambda", 1.0)
         #: prototype/head fusion weighting: "history" (reference parity —
         #: per-label 0.7/0.3 by training count, classifier.py:449-467) or

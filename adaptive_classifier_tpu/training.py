@@ -446,6 +446,65 @@ def ridge_head_params(emb, labels, valid, class_capacity: int,
     return params
 
 
+#: λ grid for ridge_lambda="auto" (ties prefer 1.0 — the reference-probe
+#: parity default the head was promoted from)
+RIDGE_LAMBDA_GRID = (0.1, 0.3, 1.0, 3.0)
+
+
+def select_ridge_lambda(
+    emb: jax.Array,          # [N_cap, D] (valid rows front-sorted)
+    labels: jax.Array,       # [N_cap]
+    valid: jax.Array,        # [N_cap] bool
+    class_capacity: int,
+    grid: Sequence[float] = RIDGE_LAMBDA_GRID,
+) -> Tuple[float, dict]:
+    """Resolve ``ridge_lambda="auto"`` by 2-fold CV balanced accuracy of the
+    pure ridge-head rule on the training rows (the same per-class
+    alternating split as the lexical/fusion probes — selection never sees
+    test data).  Measured round 5: the 32768-dim composed sentiment
+    features want λ=0.3 (+1.5pp clean over λ=1) while λ=3 loses 2pp —
+    λ is feature-scale-dependent, so a fixed default cannot fit every
+    lexical width.  Resolved ONCE per classifier (the caller caches it in
+    config) — λ re-selection on every replay retrain would let fold noise
+    wobble the head."""
+    from .lexical import _fold_machinery
+
+    n = int(np.sum(np.asarray(valid)))
+    e = np.asarray(emb[:n], np.float32)
+    y = np.asarray(labels[:n])
+    if n < 8 or len(np.unique(y)) < 2:
+        return 1.0, {"note": "too few rows to sweep; reference default"}
+    half_a, half_b, _ = _fold_machinery(y)
+    cap = max(int(half_a.sum()), int(half_b.sum()))
+    cap = ((cap + 255) // 256) * 256   # one compiled shape for both folds
+    accs = []
+    for lam in grid:
+        sc = []
+        for fit_m, val_m in ((half_a, half_b), (half_b, half_a)):
+            nf = int(fit_m.sum())
+            if nf == 0 or not val_m.any():
+                continue
+            fe = np.zeros((cap, e.shape[1]), np.float32)
+            fy = np.zeros((cap,), np.int32)
+            fe[:nf], fy[:nf] = e[fit_m], y[fit_m]
+            W = ridge_solve(jnp.asarray(fe), jnp.asarray(fy),
+                            jnp.arange(cap) < nf, class_capacity, float(lam))
+            pred = np.asarray(jnp.argmax(jnp.asarray(e[val_m]) @ W, axis=1))
+            sc.append(_balanced_acc(pred, y[val_m]))
+        accs.append(float(np.mean(sc)) if sc else 0.0)
+    order = sorted(range(len(grid)),
+                   key=lambda i: abs(np.log(grid[i] / 1.0)))
+    best = order[0]
+    for i in order:
+        if accs[i] > accs[best] + 1e-9:
+            best = i
+    return float(grid[best]), {
+        "grid": [float(g) for g in grid],
+        "val_acc": [round(a, 4) for a in accs],
+        "chosen": float(grid[best]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # fold-fitted fusion weights (config.fusion_weights="auto"; beyond-reference)
 # ---------------------------------------------------------------------------

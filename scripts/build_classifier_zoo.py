@@ -143,11 +143,13 @@ def main():
                          "manifest (informational; the committed checkpoint "
                          "stays frozen so the repo carries no per-entry "
                          "encoder weights); 0 disables")
-    ap.add_argument("--lexical-dim", type=int, default=8192,
+    ap.add_argument("--lexical-dim", type=int, default=32768,
                     help="hashed TF-IDF lexical channel width (lexical.py; "
                          "0 = dense encoder only). Measured: +14-23pp "
-                         "frozen on category/intents/emotions; the "
-                         "per-task weight resolves automatically")
+                         "frozen on category/intents/emotions; 8192 is "
+                         "collision-bound for char grams (round-4 finding, "
+                         "32768 worth +0.5-1pp); the per-task weight "
+                         "resolves automatically")
     ap.add_argument("--head-type", default="ridge",
                     choices=["mlp", "ridge"],
                     help="head family (round-4 production default: ridge — "
@@ -157,6 +159,13 @@ def main():
                     choices=["history", "auto"],
                     help="prototype/head fusion weighting (production "
                          "default: fold-fitted scalar share)")
+    ap.add_argument("--ridge-lambda", default="auto",
+                    help="'auto' (train-fold probe, production default) "
+                         "or a float")
+    ap.add_argument("--head-typo-augment", dest="head_typo_augment",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="typo'd-copy rows in the head fit (production "
+                         "default on — char-attack hardening)")
     ap.add_argument("--config-select", dest="config_select",
                     action=argparse.BooleanOptionalAction, default=True,
                     help="per-task config selection: 2-fold train-CV of the "
@@ -182,7 +191,9 @@ def main():
     manifest = {"encoder": args.model, "classifiers": {},
                 "lexical_dim": args.lexical_dim,
                 "head_type": args.head_type,
-                "fusion_weights": args.fusion_weights}
+                "fusion_weights": args.fusion_weights,
+                "ridge_lambda": args.ridge_lambda,
+                "head_typo_augment": bool(args.head_typo_augment)}
     specs = dataset_specs()
     if args.only:
         wanted = [n.strip() for n in args.only.split(",") if n.strip()]
@@ -199,6 +210,12 @@ def main():
         cfg["head_type"] = args.head_type
     if args.fusion_weights != "history":
         cfg["fusion_weights"] = args.fusion_weights
+    if args.ridge_lambda != "1.0":
+        cfg["ridge_lambda"] = (args.ridge_lambda
+                               if args.ridge_lambda == "auto"
+                               else float(args.ridge_lambda))
+    if args.head_typo_augment:
+        cfg["head_typo_augment"] = True
     cfg = cfg or None
     for name, spec in specs.items():
         print(f"=== {name}: {len(spec['train'])} train / {len(spec['test'])} test")

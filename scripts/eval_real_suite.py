@@ -273,20 +273,30 @@ def main():
              "--finetune-augment", "typo", "--seed", str(s0)],
             tmp / "strategic_typo.json"))
     # production config (lexical channel + ridge head + fold-fitted fusion
-    # weights — exactly what the zoo ships) — the encoder-only rows above
-    # stay as the reference-matched mechanism comparison
+    # weights + fold-resolved λ + typo-augmented head fit — exactly what
+    # the zoo ships, round-5 vintage) — the encoder-only rows above stay
+    # as the reference-matched mechanism comparison
+    PROD_FLAGS = ["--lexical-dim", "32768", "--head-type", "ridge",
+                  "--fusion-weights", "auto", "--ridge-lambda", "auto",
+                  "--head-typo-augment"]
     strategic_prod_by_seed = [
         run_json("eval_strategic.py",
-                 ["--model", model, "--seed", str(s),
-                  "--lexical-dim", "8192", "--head-type", "ridge",
-                  "--fusion-weights", "auto"],
+                 ["--model", model, "--seed", str(s), *PROD_FLAGS],
                  tmp / f"strategic_prod_s{s}.json")
         for s in seeds]
+    # the strategic-aware ridge defense on the harder 3-way moderation
+    # boundary (round-5 item #1's second axis)
+    strategic_prod_moderation = run_json(
+        "eval_strategic.py",
+        ["--model", model, "--seed", str(s0), "--data", "moderation",
+         *PROD_FLAGS],
+        tmp / "strategic_prod_moderation.json")
     report["strategic"] = {
         "ours": strategic,
         "ours_seed_spread": seed_spread(strategic_by_seed),
         "ours_production": strategic_prod_by_seed[0],
         "ours_production_seed_spread": seed_spread(strategic_prod_by_seed),
+        "ours_production_moderation": strategic_prod_moderation,
         "ours_finetuned": strategic_ft,
         "ours_finetuned_typo_augment": strategic_typo,
         "reference_baseline": {
@@ -412,9 +422,7 @@ def main():
     halluc = halluc_by_seed[0]
     halluc_prod_by_seed = [
         run_json("train_hallucination_detector.py",
-                 ["--model", model, "--seed", str(s),
-                  "--lexical-dim", "8192", "--head-type", "ridge",
-                  "--fusion-weights", "auto",
+                 ["--model", model, "--seed", str(s), *PROD_FLAGS,
                   "--out", str(tmp / "halluc_model_prod")],
                  tmp / f"halluc_prod_s{s}.json")
         for s in seeds]
@@ -456,8 +464,10 @@ def main():
         for tag, cfg in [
                 ("dense_only", None),
                 ("with_lexical", {"lexical_dim": 8192}),
-                ("production", {"lexical_dim": 8192, "head_type": "ridge",
-                                "fusion_weights": "auto"})]:
+                ("production", {"lexical_dim": 32768, "head_type": "ridge",
+                                "fusion_weights": "auto",
+                                "ridge_lambda": "auto",
+                                "head_typo_augment": True})]:
             c = _AC(model, seed=s0, config=cfg)
             c.add_examples([t for t, _ in tr], [l for _, l in tr])
             preds = c.predict_batch([t for t, _ in te], k=1)
@@ -496,8 +506,9 @@ def main():
                  "pipeline-vs-probe comparison of round-3 weak #2"),
     }
 
-    PROD_CFG = {"lexical_dim": 8192, "head_type": "ridge",
-                "fusion_weights": "auto"}
+    PROD_CFG = {"lexical_dim": 32768, "head_type": "ridge",
+                "fusion_weights": "auto", "ridge_lambda": "auto",
+                "head_typo_augment": True}
     pres_by_seed = [eval_new_class_preservation(model, seed=s) for s in seeds]
     pres_prod_by_seed = [
         eval_new_class_preservation(model, seed=s, config=dict(PROD_CFG))

@@ -203,6 +203,8 @@ def main():
                     help="config.head_typo_augment for BOTH arms — "
                          "label-preserving typo'd-copy rows in the head fit "
                          "(round-5 lexical typo-attack hardening)")
+    ap.add_argument("--ridge-lambda", default="1.0",
+                    help="'auto' (train-fold probe) or a float, BOTH arms")
     ap.add_argument("--train-per-class", type=int, default=0,
                     help="cap training rows per label (0 = all) — the "
                          "reduced-data foolability-boundary scenario")
@@ -239,6 +241,10 @@ def main():
         lex_cfg["fusion_weights"] = args.fusion_weights
     if args.head_typo_augment:
         lex_cfg["head_typo_augment"] = True
+    if args.ridge_lambda != "1.0":
+        lex_cfg["ridge_lambda"] = (args.ridge_lambda
+                                   if args.ridge_lambda == "auto"
+                                   else float(args.ridge_lambda))
     regular = AdaptiveClassifier(model, seed=args.seed,
                                  config=dict(lex_cfg) or None)
     regular.add_examples([d["text"] for d in train], [d["label"] for d in train])

@@ -101,6 +101,10 @@ def main():
     ap.add_argument("--head-type", default="mlp", choices=["mlp", "ridge"])
     ap.add_argument("--fusion-weights", default="history",
                     choices=["history", "auto"])
+    ap.add_argument("--ridge-lambda", default="1.0",
+                    help="'auto' (train-fold probe) or a float")
+    ap.add_argument("--head-typo-augment", action="store_true",
+                    help="label-preserving typo'd-copy rows in the head fit")
     ap.add_argument("--seed", type=int, default=42,
                     help="classifier seed (head init + training shuffle)")
     ap.add_argument("--json-out", default=None)
@@ -128,6 +132,11 @@ def main():
         cfg["head_type"] = args.head_type
     if args.fusion_weights != "history":
         cfg["fusion_weights"] = args.fusion_weights
+    if args.ridge_lambda != "1.0":
+        cfg["ridge_lambda"] = (args.ridge_lambda if args.ridge_lambda == "auto"
+                               else float(args.ridge_lambda))
+    if args.head_typo_augment:
+        cfg["head_typo_augment"] = True
     clf = AdaptiveClassifier(model, seed=args.seed, config=cfg or None)
     clf.add_examples(
         [format_input(d["context"], d["question"], d["answer"]) for d in train],

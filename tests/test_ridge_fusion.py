@@ -78,6 +78,36 @@ def test_ridge_solve_sample_weight_equals_row_duplication():
     np.testing.assert_allclose(W_w, W_d, rtol=2e-3, atol=2e-4)
 
 
+def test_select_ridge_lambda_prefers_generalizing_lambda():
+    """The λ probe must pick a generalizing λ on fold-CV and prefer 1.0 on
+    ties; a classifier with ridge_lambda='auto' resolves once and freezes
+    the value in config."""
+    rng = np.random.default_rng(3)
+    D, C, n = 24, 8, 60
+    centers = rng.standard_normal((3, D)).astype(np.float32)
+    y = np.repeat(np.arange(3), n // 3)
+    e = centers[y] + 0.8 * rng.standard_normal((n, D)).astype(np.float32)
+    cap = 64
+    emb = jnp.zeros((cap, D)).at[:n].set(jnp.asarray(e))
+    lbl = jnp.zeros((cap,), jnp.int32).at[:n].set(jnp.asarray(y))
+    valid = jnp.arange(cap) < n
+    lam, rep = training.select_ridge_lambda(emb, lbl, valid, C)
+    assert lam in rep["grid"]
+    assert rep["val_acc"][rep["grid"].index(lam)] == max(rep["val_acc"])
+    # degenerate inputs fall back to the reference default
+    lam2, _ = training.select_ridge_lambda(
+        emb, jnp.zeros((cap,), jnp.int32), valid, C)
+    assert lam2 == 1.0
+
+
+def test_classifier_resolves_auto_ridge_lambda(synth_classifier_factory):
+    clf = synth_classifier_factory(head_type="ridge", ridge_lambda="auto")
+    clf.add_examples([f"u:{i}" for i in range(8)] + [f"v:{i}" for i in range(8)],
+                     ["u"] * 8 + ["v"] * 8)
+    assert isinstance(clf.config.ridge_lambda, float)
+    assert clf.predict("u:q", k=1)[0][0] == "u"
+
+
 def test_ridge_head_params_linear_and_keeps_skip():
     rng = np.random.default_rng(2)
     F = rng.standard_normal((20, 8)).astype(np.float32)
