@@ -446,8 +446,10 @@ class AdaptiveClassifier:
         # cost 4.5pp clean — the prototypes only look better because the
         # head fold is graded on corrupted rows it was never meant to win)
         clean_rows = (emb, lbl, valid)
+        row_weight = None
         if self.config.head_typo_augment:
-            emb, lbl, valid = self._typo_augment_rows(emb, lbl, valid)
+            emb, lbl, valid, row_weight = self._typo_augment_rows(
+                emb, lbl, valid)
         if self.config.head_type == "ridge":
             if self.config.ridge_lambda == "auto":
                 # resolve λ ONCE by the train-fold probe (training.
@@ -461,11 +463,13 @@ class AdaptiveClassifier:
             # closed-form exact fit — no epochs, no seed sensitivity
             self.head_params = training.ridge_head_params(
                 emb, lbl, valid, self._class_capacity,
-                lam=self.config.ridge_lambda, keep_from=self.head_params)
+                lam=self.config.ridge_lambda, keep_from=self.head_params,
+                sample_weight=row_weight)
             if self.strategic_mode and self.config.strategic_ridge_rounds > 0:
                 # strategic defense folded INTO the refit (the SGD strategic
                 # pass is wiped by the next closed-form solve; this is not)
-                self.head_params = self._strategic_ridge_refit(emb, lbl, valid)
+                self.head_params = self._strategic_ridge_refit(
+                    emb, lbl, valid, base_weight=row_weight)
         else:
             result = training.fit_head(
                 self.head_params, emb, lbl, valid, self._active_mask(),
@@ -481,21 +485,35 @@ class AdaptiveClassifier:
         if self.config.fusion_weights == "auto":
             self._fit_fusion_alpha(*clean_rows)
 
+    #: generic hedging fillers for the augmented copies — suffix-invariance
+    #: training against distractor-clause attacks (deliberately DISJOINT
+    #: from any eval attack's phrase list; the technique is general, the
+    #: strings are not shared)
+    _AUG_FILLERS = ("all things considered", "to be fair",
+                    "generally speaking", "as far as i can tell",
+                    "if you ask me")
+
     @staticmethod
     def _typo_variant(text: str, seed: int) -> str:
-        """Deterministic per-text adjacent-character-swap corruption (one
-        swap per word ≥4 chars with p=0.3).  Keyed on ``(seed, text)`` so a
+        """Deterministic per-text corruption for head augmentation:
+        adjacent-character swap per word ≥4 chars with p=0.6, plus a
+        generic hedging-filler suffix.  Keyed on ``(seed, text)`` so a
         text's variant never changes as the store grows — repeated head
-        refits then hit the embedding cache instead of re-encoding."""
+        refits then hit the embedding cache instead of re-encoding.
+        (p=0.3 without the suffix measured ineffective at the production
+        λ: drop 0.085 vs 0.055 unaugmented; p=0.6 + suffix measured drop
+        0.025 — the corruption must be at least as heavy as the attacks
+        it defends against.)"""
         import random as _random
 
         rng = _random.Random(f"{seed}:{text}")
         words = text.split(" ")
         for i, w in enumerate(words):
-            if len(w) >= 4 and rng.random() < 0.3:
+            if len(w) >= 4 and rng.random() < 0.6:
                 j = rng.randrange(1, len(w) - 2)
                 words[i] = w[:j] + w[j + 1] + w[j] + w[j + 2:]
-        return " ".join(words)
+        return (" ".join(words) + " , "
+                + rng.choice(AdaptiveClassifier._AUG_FILLERS))
 
     def _typo_augment_rows(self, emb, lbl, valid):
         """Append a typo'd-copy embedding per stored text to the head
@@ -525,9 +543,12 @@ class AdaptiveClassifier:
               .at[:n].set(emb[:n]).at[n:n + m].set(aug_emb))
         l2 = (jnp.zeros((cap2,), jnp.int32)
               .at[:n].set(lbl[:n]).at[n:n + m].set(aug_ids))
-        return e2, l2, jnp.arange(cap2) < (n + m)
+        w2 = (jnp.ones((cap2,), jnp.float32)
+              .at[n:n + m].set(self.config.head_typo_weight))
+        return e2, l2, jnp.arange(cap2) < (n + m), w2
 
-    def _strategic_ridge_refit(self, emb, lbl, valid) -> HeadParams:
+    def _strategic_ridge_refit(self, emb, lbl, valid,
+                               base_weight=None) -> HeadParams:
         """Strategic-aware closed-form ridge fit.
 
         The reference defends by SGD-ing the head on a strategic loss
@@ -603,6 +624,9 @@ class AdaptiveClassifier:
         # 1.5pp clean head accuracy on production sentiment)
         w_aug = (jnp.ones((cap_aug,), jnp.float32)
                  .at[n:n_aug].set(self.config.strategic_ridge_ext_weight))
+        if base_weight is not None:
+            # carry the typo-row down-weighting through the strategic solve
+            w_aug = w_aug.at[:n].set(base_weight[:n])
         filled = n_aug
         params = training.ridge_head_params(
             e_aug, l_aug, jnp.arange(cap_aug) < filled, cap,

@@ -201,6 +201,12 @@ class ModelConfig:
         #: surface form.  Head-only: prototypes/memory keep exact reference
         #: semantics.  Off by default (reference parity).
         self.head_typo_augment = g("head_typo_augment", False)
+        #: LS weight of the typo'd-copy rows relative to 1.0 for real rows
+        #: (ridge heads only — the MLP path has no per-row weights).  Full
+        #: weight trades clean accuracy for robustness (measured −2.5pp
+        #: clean / −3pp drop on sentiment); fractional weights buy most of
+        #: the robustness at a fraction of the clean cost.
+        self.head_typo_weight = g("head_typo_weight", 0.5)
         #: hashed TF-IDF lexical channel width (lexical.py; beyond-reference,
         #: 0 = off = exact reference semantics).  When on, embeddings are
         #: [encoder, w·lexical]/√(1+w²) and embedding_dim grows by this.
@@ -285,6 +291,7 @@ class ModelConfig:
             "strategic_ridge_rounds": self.strategic_ridge_rounds,
             "strategic_ridge_ext_weight": self.strategic_ridge_ext_weight,
             "head_typo_augment": self.head_typo_augment,
+            "head_typo_weight": self.head_typo_weight,
             "embedding_cache_size": self.embedding_cache_size,
             "incremental_ewc_lambda": self.incremental_ewc_lambda,
             "incremental_distill_lambda": self.incremental_distill_lambda,

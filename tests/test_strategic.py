@@ -337,9 +337,15 @@ def test_typo_variant_deterministic_per_text():
     v2 = AC._typo_variant(t, 42)
     assert v1 == v2
     assert v1 != AC._typo_variant(t, 43)          # seed-dependent
-    assert AC._typo_variant("hi", 42) == "hi"     # short words untouched
-    # swaps stay inside words: same word count, same word lengths
-    assert [len(w) for w in v1.split(" ")] == [len(w) for w in t.split(" ")]
+    # a generic filler suffix is appended (suffix-invariance training)
+    assert any(v1.endswith(f) for f in AC._AUG_FILLERS)
+    # the original words only mutate by in-word character swaps: same word
+    # count and lengths before the appended suffix
+    n_words = len(t.split(" "))
+    body = v1.split(" ")[:n_words]
+    assert [len(w) for w in body] == [len(w) for w in t.split(" ")]
+    # short words are never typo'd
+    assert AC._typo_variant("hi", 42).split(" , ")[0] == "hi"
 
 
 def test_head_typo_augment_trains_on_augmented_rows(synth_classifier_factory):
