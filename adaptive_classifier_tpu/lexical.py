@@ -53,8 +53,23 @@ _WS = re.compile(r"\s+")
 AUTO_WEIGHT_GRID = (0.0, 0.5, 1.0, 2.0, 4.0)
 
 #: gram kinds swept by grams="auto", cheapest-transform first (the tie
-#: preference): word uni+bigrams, char 3-5-grams, or both concatenated
-GRAM_KINDS = ("word", "char", "wordchar")
+#: preference): word uni+bigrams, char 3-5-grams, both concatenated,
+#: typo-invariant skeleton uni+bigrams, char+skeleton
+GRAM_KINDS = ("word", "char", "wordchar", "skel", "charskel")
+
+
+def _skeleton(word: str) -> str:
+    """Typo-invariant word skeleton: first char + SORTED middle + last char.
+
+    An adjacent-character swap inside a word (the adv-SST2 / human-typo
+    attack family — and this library's own augmentation) permutes the
+    middle characters only, so the skeleton is EXACTLY invariant to any
+    number of such swaps while staying discriminative (anagram collisions
+    among real words are rare).  The same representation humans exploit
+    when reading scrambled text; cf. RobEn-style robust encodings."""
+    if len(word) < 4:
+        return word
+    return word[0] + "".join(sorted(word[1:-1])) + word[-1]
 
 
 def _fnv1a(data: bytes) -> int:
@@ -66,7 +81,8 @@ def _fnv1a(data: bytes) -> int:
 
 
 def _grams(text: str, kind: str = "word") -> List[str]:
-    """Word uni+bigrams, char 3-5-grams, or both.
+    """Word uni+bigrams, char 3-5-grams, typo-invariant skeleton grams, or
+    concatenations (GRAM_KINDS).
 
     Char grams run over the whitespace-normalized lowercase text with a
     leading/trailing space so word boundaries are part of the gram
@@ -75,15 +91,24 @@ def _grams(text: str, kind: str = "word") -> List[str]:
     and carry morphology word grams miss.  Measured on the sentiment set
     (ac-base, dim 8192, train-fold CV selection): word 0.64 -> char 0.79
     test accuracy through the ridge probe.
+
+    Skeleton grams (``skel``) are word uni+bigrams over ``_skeleton``
+    forms — EXACTLY invariant to in-word adjacent-character swaps, the
+    robustness char grams only approximate.  ``charskel`` concatenates
+    both (prefixed ``#`` so skeleton grams never collide with plain
+    words in the shared hash space).
     """
     out: List[str] = []
     if kind in ("word", "wordchar"):
         toks = _WORD.findall(text.lower())
         out += toks + [a + " " + b for a, b in zip(toks, toks[1:])]
-    if kind in ("char", "wordchar"):
+    if kind in ("char", "wordchar", "charskel"):
         s = " " + _WS.sub(" ", text.lower()).strip() + " "
         out += [s[i:i + n] for n in (3, 4, 5)
                 for i in range(len(s) - n + 1)]
+    if kind in ("skel", "charskel"):
+        sk = ["#" + _skeleton(t) for t in _WORD.findall(text.lower())]
+        out += sk + [a + " " + b for a, b in zip(sk, sk[1:])]
     return out
 
 

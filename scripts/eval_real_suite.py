@@ -227,9 +227,12 @@ def main():
     if args.carry_finetuned:
         carry = json.loads(Path(args.carry_finetuned).read_text())
 
-    def ft_row(section: str, key: str, compute):
-        """Encoder-finetuned row: recompute, or carry from a prior EVAL."""
-        if carry is not None:
+    def ft_row(section: str, key: str, compute, carry_ok: bool = True):
+        """Encoder-finetuned row: recompute, or carry from a prior EVAL.
+        ``carry_ok=False`` forces recompute — used when the row's
+        configuration changed vintage (the round-5 production config is
+        not the round-4 one, so its finetuned row cannot be carried)."""
+        if carry is not None and carry_ok:
             row = carry.get(section, {}).get(key)
             if row is not None:
                 row = dict(row)
@@ -530,7 +533,8 @@ def main():
         "ours_heldout_production_finetuned": ft_row(
             "new_class_preservation", "ours_heldout_production_finetuned",
             lambda: eval_new_class_preservation(
-                model, finetune_steps=150, seed=s0, config=dict(PROD_CFG))),
+                model, finetune_steps=150, seed=s0, config=dict(PROD_CFG)),
+            carry_ok=False),   # production config changed in round 5
         "reference_baseline": {
             "note": "issue #53 regression threshold "
                     "(tests/test_new_class_accuracy_preservation.py:188-198). "

@@ -321,3 +321,40 @@ def test_fold_cap_many_singleton_classes():
     # the scorer itself must run without the ValueError from rng.choice
     acc = fold_acc(f, half_b, half_a)
     assert 0.0 <= acc <= 1.0
+
+
+def test_skeleton_grams_typo_invariant():
+    """Skeleton grams are EXACTLY invariant to in-word adjacent-character
+    swaps (the adv-SST2 / human-typo attack family) — the transform of a
+    typo'd text equals the transform of the clean text."""
+    from adaptive_classifier_tpu.lexical import HashedTfidf, _grams, _skeleton
+
+    assert _skeleton("wonderful") == _skeleton("wodnerful")  # swapped n/d
+    assert _skeleton("wonderful") == _skeleton("wonedrful")
+    assert _skeleton("hi") == "hi"                           # short: verbatim
+
+    clean = "the film was absolutely wonderful and heartwarming"
+    typo = "the film was absolutely wodnerful and heartwraming"
+    assert _grams(clean, "skel") == _grams(typo, "skel")
+
+    v = HashedTfidf(1024, weight=1.0, grams="skel").fit([clean, typo])
+    rows = v.transform([clean, typo])
+    np.testing.assert_allclose(rows[0], rows[1])
+
+
+def test_charskel_namespaces_do_not_collide():
+    """Skeleton grams carry a '#' prefix so a skeleton form can never
+    alias a plain word gram in the shared hash space."""
+    from adaptive_classifier_tpu.lexical import _grams
+
+    g = _grams("abcd efgh", "charskel")
+    assert "#abcd" in g and "#efgh" in g and "#abcd #efgh" in g
+    assert all(not x.startswith("#") or x.lstrip("#")[0].isalnum()
+               for x in g)
+
+
+def test_auto_probe_sweeps_skeleton_kinds():
+    """grams='auto' includes the skeleton kinds in the sweep."""
+    from adaptive_classifier_tpu.lexical import GRAM_KINDS
+
+    assert "skel" in GRAM_KINDS and "charskel" in GRAM_KINDS
