@@ -272,10 +272,19 @@ class AdaptiveClassifier:
             saved, self.lexical = self.lexical, None
             try:
                 enc = self._embed_uncached(texts)
+                typo_views = None
+                if saved.grams == "auto":
+                    # robust tie-breaking among near-tied gram kinds
+                    # (lexical.resolve_config): one extra encoder pass
+                    # over typo'd views of the first batch
+                    texts_t = [self._typo_variant(t, self.seed)
+                               for t in texts]
+                    typo_views = (self._embed_uncached(texts_t), texts_t)
             finally:
                 self.lexical = saved
             lid = {l: i for i, l in enumerate(uniq)}
-            self.lexical.resolve_config(enc, texts, [lid[l] for l in labels])
+            self.lexical.resolve_config(enc, texts, [lid[l] for l in labels],
+                                        typo_views=typo_views)
             logger.info(f"lexical channel resolved to grams="
                         f"{self.lexical.grams} w={self.lexical.weight}")
         if getattr(self, "_emb_cache", None) is not None:

@@ -55,7 +55,8 @@ AUTO_WEIGHT_GRID = (0.0, 0.5, 1.0, 2.0, 4.0)
 #: gram kinds swept by grams="auto", cheapest-transform first (the tie
 #: preference): word uni+bigrams, char 3-5-grams, both concatenated,
 #: typo-invariant skeleton uni+bigrams, char+skeleton
-GRAM_KINDS = ("word", "char", "wordchar", "skel", "charskel")
+GRAM_KINDS = ("word", "char", "wordchar", "skel", "charskel",
+              "wordcharskel")
 
 
 def _skeleton(word: str) -> str:
@@ -99,14 +100,14 @@ def _grams(text: str, kind: str = "word") -> List[str]:
     words in the shared hash space).
     """
     out: List[str] = []
-    if kind in ("word", "wordchar"):
+    if kind in ("word", "wordchar", "wordcharskel"):
         toks = _WORD.findall(text.lower())
         out += toks + [a + " " + b for a, b in zip(toks, toks[1:])]
-    if kind in ("char", "wordchar", "charskel"):
+    if kind in ("char", "wordchar", "charskel", "wordcharskel"):
         s = " " + _WS.sub(" ", text.lower()).strip() + " "
         out += [s[i:i + n] for n in (3, 4, 5)
                 for i in range(len(s) - n + 1)]
-    if kind in ("skel", "charskel"):
+    if kind in ("skel", "charskel", "wordcharskel"):
         sk = ["#" + _skeleton(t) for t in _WORD.findall(text.lower())]
         out += sk + [a + " " + b for a, b in zip(sk, sk[1:])]
     return out
@@ -314,7 +315,8 @@ class HashedTfidf:
 
     def resolve_config(self, enc: np.ndarray, texts: Sequence[str],
                        labels: Sequence[int],
-                       grid: Sequence[float] = AUTO_WEIGHT_GRID) -> None:
+                       grid: Sequence[float] = AUTO_WEIGHT_GRID,
+                       typo_views=None) -> None:
         """Resolve grams="auto" and/or weight="auto" on the first batch,
         then fit (and freeze) the IDF table under the winning gram kind.
 
@@ -325,10 +327,18 @@ class HashedTfidf:
         (ac-base, dim 8192): sentiment selects char at w=4 (0.64 -> 0.79
         test), category/intents keep word — never worse than the fixed
         word-gram channel on any authored axis.
-        """
+
+        ``typo_views=(enc_typo, texts_typo)`` (round 5) enables ROBUST
+        TIE-BREAKING: among gram kinds whose clean fold-CV is within 1pp
+        of the best, prefer the kind with the highest accuracy when the
+        VAL fold's features are replaced by the typo'd views (fit stays
+        clean — the probe measures robustness of the representation, not
+        of typo-trained weights).  Clean accuracy still decides first;
+        robustness only breaks statistical ties, so the clean operating
+        point is never traded away silently."""
         kinds = GRAM_KINDS if self.grams == "auto" else (self.grams,)
-        best = None  # (acc, kind, weight)
-        for kind in kinds:
+        scored = []  # (acc, order, kind, weight, probe, lex)
+        for order, kind in enumerate(kinds):
             probe = HashedTfidf(self.dim, weight="auto", grams=kind)
             probe.fit(texts)
             lex = probe.transform(texts)
@@ -337,9 +347,29 @@ class HashedTfidf:
             else:
                 w = float(self.weight)
                 acc = _cv_acc(enc, lex, labels, w)
-            if best is None or acc > best[0] + 1e-9:
-                best = (acc, kind, w)
-        _, self.grams, self.weight = best
+            scored.append((acc, order, kind, w, probe, lex))
+        best_acc = max(s[0] for s in scored)
+        cands = [s for s in scored if s[0] >= best_acc - 0.01]
+        if typo_views is not None and len(cands) > 1:
+            enc_t, texts_t = typo_views
+            ranked = []
+            for acc, order, kind, w, probe, lex in cands:
+                lex_t = probe.transform(list(texts_t))
+                s = 1.0 / math.sqrt(1 + w * w)
+                f_c = np.concatenate([enc * s, (w * s) * lex], axis=1)
+                f_t = np.concatenate([enc_t * s, (w * s) * lex_t], axis=1)
+                taccs = []
+                for seed in PROBE_SPLITS:
+                    half_a, half_b, fold_acc = _fold_machinery(labels, seed)
+                    for fit_m, val_m in ((half_a, half_b), (half_b, half_a)):
+                        mix = np.where(val_m[:, None], f_t, f_c)
+                        taccs.append(fold_acc(mix, fit_m, val_m))
+                ranked.append((float(np.mean(taccs)), -order, kind, w))
+            _, _, best_kind, best_w = max(ranked)
+            self.grams, self.weight = best_kind, best_w
+        else:
+            _, _, self.grams, self.weight = max(
+                (acc, -order, kind, w) for acc, order, kind, w, _, _ in scored)
         if not self.fitted:  # never refit a frozen IDF table
             self.fit(texts)
 
