@@ -205,6 +205,9 @@ def main():
                          "(round-5 lexical typo-attack hardening)")
     ap.add_argument("--ridge-lambda", default="1.0",
                     help="'auto' (train-fold probe) or a float, BOTH arms")
+    ap.add_argument("--head-typo-weight", type=float, default=None,
+                    help="LS weight of the typo'd-copy rows (with "
+                         "--head-typo-augment; default = config default)")
     ap.add_argument("--train-per-class", type=int, default=0,
                     help="cap training rows per label (0 = all) — the "
                          "reduced-data foolability-boundary scenario")
@@ -241,6 +244,8 @@ def main():
         lex_cfg["fusion_weights"] = args.fusion_weights
     if args.head_typo_augment:
         lex_cfg["head_typo_augment"] = True
+        if args.head_typo_weight is not None:
+            lex_cfg["head_typo_weight"] = args.head_typo_weight
     if args.ridge_lambda != "1.0":
         lex_cfg["ridge_lambda"] = (args.ridge_lambda
                                    if args.ridge_lambda == "auto"
