@@ -424,12 +424,22 @@ def ridge_solve(
         F = F * s
         Y = Y * s
     N, D = F.shape
+    # Cholesky solve: both K+λI and G+λI are SPD by construction, and
+    # XLA's LU path (jnp.linalg.solve) overflows v5e's 16MB scoped VMEM at
+    # N=16384 (LuDecompositionBlock allocates f32[N,128] on stack —
+    # measured failure in round 5 on the typo+strategic augmented solve);
+    # the Cholesky lowering has no such block and is ~2× cheaper.
+    def _spd_solve(A, B):
+        L = jnp.linalg.cholesky(A)
+        z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
     if N <= D:
         K = F @ F.T
-        A = jnp.linalg.solve(K + lam * jnp.eye(N, dtype=jnp.float32), Y)
+        A = _spd_solve(K + lam * jnp.eye(N, dtype=jnp.float32), Y)
         return F.T @ A
     G = F.T @ F
-    return jnp.linalg.solve(G + lam * jnp.eye(D, dtype=jnp.float32), F.T @ Y)
+    return _spd_solve(G + lam * jnp.eye(D, dtype=jnp.float32), F.T @ Y)
 
 
 def ridge_head_params(emb, labels, valid, class_capacity: int,
