@@ -79,7 +79,14 @@ def main():
                     help="attention path to measure; the shipped policy "
                          "for S<1024 is the packed-QKV Pallas kernel "
                          "(Encoder._attn_impl, adopted round 3)")
+    ap.add_argument("--fuse-o-proj", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="fold the O-projection + both LayerNorms into the "
+                         "FFN Pallas program (ops/ffn_int8.attn_ffn_block_"
+                         "int8, round-5 MFU candidate); 'auto' follows the "
+                         "encoder default")
     args = ap.parse_args()
+    fuse_o = {"auto": None, "on": True, "off": False}[args.fuse_o_proj]
 
     cfg = EncoderConfig(vocab_size=30522)   # bert-base dims
     params = init_params_on_device(0, cfg)
@@ -90,7 +97,8 @@ def main():
     mask = jnp.ones((B, S), jnp.int32)
 
     embed = jax.jit(lambda p, i, m: embed_texts_device_int8(
-        p, i, m, cfg, jnp.bfloat16, attn_impl=args.attn_impl))
+        p, i, m, cfg, jnp.bfloat16, attn_impl=args.attn_impl,
+        fuse_o_proj=fuse_o))
     dt = timed(embed, qparams, ids, mask, iters=args.iters)
 
     led = flop_ledger(cfg, B, S)
@@ -149,6 +157,18 @@ def main():
         x, l["o_w.int8"], l["o_w.scale"], l["o_b"])), x, l0,
         iters=args.iters)
 
+    # round-5 candidate: the whole post-attention layer body as ONE program
+    # (int8 o_proj + residual+LN + both FFN matmuls + residual+LN)
+    from adaptive_classifier_tpu.ops.ffn_int8 import attn_ffn_block_int8
+
+    t_attn_ffn = timed(jax.jit(lambda c, x, l: attn_ffn_block_int8(
+        c, x, l["o_w.int8"], l["o_w.scale"], l["o_b"],
+        l["attn_ln_scale"], l["attn_ln_bias"],
+        l["ffn_in_w.int8"], l["ffn_in_w.scale"], l["ffn_in_b"],
+        l["ffn_out_w.int8"], l["ffn_out_w.scale"], l["ffn_out_b"],
+        l["ffn_ln_scale"], l["ffn_ln_bias"], cfg.layer_norm_eps)),
+        x, x, l0, iters=args.iters)
+
     # the shipped attention: packed-QKV Pallas kernel straight off the
     # projection's natural [B, S, 3D] layout (ops/attention_qkv.py)
     from adaptive_classifier_tpu.ops.attention_qkv import attention_from_qkv
@@ -163,6 +183,7 @@ def main():
         "shape": {"B": B, "S": S, "dims": "bert-base"},
         "backend": jax.default_backend(),
         "attn_impl": args.attn_impl,
+        "fuse_o_proj": args.fuse_o_proj,
         "ms_per_forward": round(dt * 1e3, 3),
         "q_per_s_device_only": round(B / dt, 1),
         "flops": {k: int(v) for k, v in led.items()},
@@ -174,6 +195,7 @@ def main():
             "qkv_int8": round(t_qkv * 1e3, 3),
             "o_proj_int8": round(t_oproj * 1e3, 3),
             "ffn_int8_fused": round(t_ffn * 1e3, 3),
+            "attn_ffn_int8_megakernel": round(t_attn_ffn * 1e3, 3),
             "attention_bf16_einsum": round(t_attn * 1e3, 3),
             "attention_fusedqkv": round(t_attn_fused * 1e3, 3),
         },
