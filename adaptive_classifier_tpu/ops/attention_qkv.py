@@ -107,6 +107,87 @@ def _kernel(qkv_ref, bias_ref, o_ref, *, H: int, Dh: int, D: int,
             o_ref[b, :, lo:lo + Dh] = o.astype(o_ref.dtype)
 
 
+def _kernel_phased(qkv_ref, bias_ref, o_ref, *, H: int, Dh: int, D: int,
+                   scale: float):
+    """Pair variant with phase-split scheduling: ALL score matmuls are
+    emitted first, then every softmax, then all PV matmuls.  The
+    interleaved pair kernel alternates MXU (scores) → VPU (softmax) → MXU
+    (PV) per head pair, serializing the units on each tiny [S,S] problem;
+    emitting the phases separately was meant to let Mosaic overlap pair
+    i's softmax with pair i+1's score matmul.  Numerics identical (parity
+    test in tests/test_attention_qkv.py).
+
+    REJECTED after the round-5 on-chip A/B: end-to-end int8 encoder
+    forward at B=256/S=64 measured 14.84 ms phased vs 13.60 ms pair —
+    Mosaic already pipelines the interleaved form, and keeping all 2·NB·H/2
+    [S,S] f32 score tiles live raises VMEM/scheduling pressure instead.
+    Kept as a tested building block documenting the scheduling experiment
+    (same policy as the standalone o_proj kernel, round 2)."""
+    NB, S, _ = qkv_ref.shape
+    pairs, tail = divmod(H, 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * Dh), 1)
+    sel_lo = (lane < Dh)
+    dn = (((1,), (1,)), ((), ()))
+    dn2 = (((1,), (0,)), ((), ()))
+    zero = jnp.zeros((), qkv_ref.dtype)
+
+    scores = []                       # phase 1: every [S,S] score product
+    for b in range(NB):
+        bias = bias_ref[0, b, :][None, :]
+        for hp in range(pairs):
+            lo = 2 * hp * Dh
+            qq = qkv_ref[b, :, lo:lo + 2 * Dh]
+            kk = qkv_ref[b, :, D + lo:D + lo + 2 * Dh]
+            k_lo = jnp.where(sel_lo, kk, zero)
+            k_hi = jnp.where(sel_lo, zero, kk)
+            s_a = jax.lax.dot_general(
+                qq, k_lo, dimension_numbers=dn,
+                preferred_element_type=jnp.float32) * scale + bias
+            s_b = jax.lax.dot_general(
+                qq, k_hi, dimension_numbers=dn,
+                preferred_element_type=jnp.float32) * scale + bias
+            scores.append((s_a, s_b))
+        if tail:
+            lo = 2 * pairs * Dh
+            q = qkv_ref[b, :, lo:lo + Dh]
+            k = qkv_ref[b, :, D + lo:D + lo + Dh]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=dn,
+                preferred_element_type=jnp.float32) * scale + bias
+            scores.append((s, None))
+
+    probs = [(_softmax_rows(a), None if b is None else _softmax_rows(b))
+             for a, b in scores]      # phase 2: every softmax (VPU)
+
+    i = 0                             # phase 3: every PV product
+    per_b = pairs + (1 if tail else 0)
+    for b in range(NB):
+        for hp in range(pairs):
+            lo = 2 * hp * Dh
+            vv = qkv_ref[b, :, 2 * D + lo:2 * D + lo + 2 * Dh]
+            v_lo = jnp.where(sel_lo, vv, zero)
+            v_hi = jnp.where(sel_lo, zero, vv)
+            p_a, p_b = probs[b * per_b + hp]
+            o_pair = jax.lax.dot_general(
+                p_a.astype(vv.dtype), v_lo, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                p_b.astype(vv.dtype), v_hi, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, lo:lo + 2 * Dh] = o_pair.astype(o_ref.dtype)
+        if tail:
+            lo = 2 * pairs * Dh
+            v = qkv_ref[b, :, 2 * D + lo:2 * D + lo + Dh]
+            p, _ = probs[b * per_b + pairs]
+            o = jax.lax.dot_general(
+                p.astype(v.dtype), v, dimension_numbers=dn2,
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, lo:lo + Dh] = o.astype(o_ref.dtype)
+        i += per_b
+
+
 def _kernel_perhead(qkv_ref, bias_ref, o_ref, *, H: int, Dh: int, D: int,
                     scale: float):
     """Reference variant: one [S,S] attention per head (sub-lane slices)."""
@@ -150,13 +231,19 @@ def attention_from_qkv(
     assert S % 8 == 0, f"S={S} must be a multiple of 8"
     if variant == "auto":
         variant = "pair" if (head_dim == 64 and num_heads >= 2) else "perhead"
-    kern = _kernel if variant == "pair" else _kernel_perhead
+    kern = {"pair": _kernel, "phased": _kernel_phased,
+            "perhead": _kernel_perhead}[variant]
 
     # pack more batch items per program while blocks stay comfortably in
-    # VMEM (a [NB, S, 3D] bf16 block at NB·S ≈ 128 rows is ~576 KB)
+    # VMEM (a [NB, S, 3D] bf16 block at NB·S = 512 rows is ~2.3 MB at
+    # bert-base dims).  Round-5 on-chip A/B of the grid arity: NB 2 → 8
+    # (grid 128 → 32 programs) measured 13.68 → 13.60 ms end-to-end int8
+    # forward at B=256/S=64 — within noise, kept for the lower dispatch
+    # count; the kernel's cost is MXU fill latency on the small per-pair
+    # matmuls, not grid overhead (docs/MFU_r05.json ablation).
     NB = 1
-    for cand in (4, 2):
-        if B % cand == 0 and cand * S <= 128:
+    for cand in (8, 4, 2):
+        if B % cand == 0 and cand * S <= 512:
             NB = cand
             break
     # [B//NB, NB, S] so the block's trailing two dims equal the array's
@@ -167,7 +254,7 @@ def attention_from_qkv(
     scale = 1.0 / float(np.sqrt(head_dim))
 
     flops = 4 * B * num_heads * S * S * head_dim
-    if variant == "pair":
+    if variant in ("pair", "phased"):
         flops *= 2                                   # block-diag waste
     return pl.pallas_call(
         functools.partial(kern, H=num_heads, Dh=head_dim, D=D, scale=scale),

@@ -55,6 +55,8 @@ CATEGORIES = [
     ("ffn_block_int8", "ffn_int8_kernel"),
     ("quant_matmul_int8", "qkv_int8_kernel"),
     ("oneshot_attention", "attention_kernel"),
+    ("attention_from_qkv", "attention_kernel"),
+    ("attn_ffn_block_int8", "ffn_int8_kernel"),
     ("flash", "attention_kernel"),
     ("convolution", "xla_matmul"),
     ("dot", "xla_matmul"),

@@ -33,6 +33,8 @@ def reference_from_qkv(qkv, mask, H, Dh):
     ("pair", 1, 64, 3, 64),       # odd head count → solo tail head
     ("perhead", 2, 64, 12, 64),
     ("perhead", 2, 64, 4, 32),    # non-64 head_dim falls to perhead
+    ("phased", 2, 64, 12, 64),    # rejected scheduling variant (r5 A/B),
+    ("phased", 1, 64, 3, 64),     # kept as a tested building block
 ])
 def test_matches_reference(variant, B, S, H, Dh):
     r = np.random.default_rng(0)
