@@ -53,9 +53,9 @@ class AdaptiveClassifier:
     ``trust_remote_code`` is likewise API-parity-only: the reference passes
     it to transformers to allow a checkpoint to EXECUTE bundled Python.
     This framework's encoders are pure-JAX reimplementations of fixed
-    architectures (bert/distilbert/roberta/modernbert) — checkpoint code is
-    never executed, so the flag has nothing to gate; unsupported custom
-    architectures fail loudly at load instead.
+    architectures (bert/distilbert/roberta/modernbert/electra/mpnet) —
+    checkpoint code is never executed, so the flag has nothing to gate;
+    unsupported custom architectures fail loudly at load instead.
     """
 
     def __init__(

@@ -45,7 +45,7 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
-    arch: str = "bert"  # "bert" | "distilbert" | "roberta" | "modernbert"
+    arch: str = "bert"  # bert | distilbert | roberta | modernbert | electra | mpnet
     #: sentence pooling: "cls" (reference semantics) or "mean" (masked mean
     #: — used by our MLM-only pretrained checkpoints via config.json's
     #: "ac_pooling" key)
@@ -60,6 +60,15 @@ class EncoderConfig:
     local_attention: int = 128
     global_rope_theta: float = 160000.0
     local_rope_theta: float = 10000.0
+    #: ELECTRA: embedding-table width when it differs from hidden_size
+    #: (0 = same); a learned [E→D] projection follows the embedding
+    #: LayerNorm (HF ElectraModel.embeddings_project)
+    embedding_size: int = 0
+    #: MPNet: T5-style bucketed relative attention bias, one learned
+    #: [buckets, H] table shared by every layer (0 = absent).  The bucket
+    #: matrix is a static function of S, computed on host at trace time.
+    relative_attn_buckets: int = 0
+    relative_attn_max_distance: int = 128
 
     @property
     def head_dim(self) -> int:
@@ -86,6 +95,21 @@ KNOWN_ARCHS: Dict[str, EncoderConfig] = {
         intermediate_size=2624, max_position_embeddings=8192,
         type_vocab_size=0, layer_norm_eps=1e-5, arch="modernbert",
     ),
+    "google/electra-small-discriminator": EncoderConfig(
+        hidden_size=256, num_layers=12, num_heads=4, intermediate_size=1024,
+        embedding_size=128, arch="electra",
+    ),
+    "google/electra-base-discriminator": EncoderConfig(arch="electra"),
+    "microsoft/mpnet-base": EncoderConfig(
+        vocab_size=30527, max_position_embeddings=514, type_vocab_size=0,
+        layer_norm_eps=1e-5, pad_token_id=1, arch="mpnet",
+        relative_attn_buckets=32,
+    ),
+    "sentence-transformers/all-mpnet-base-v2": EncoderConfig(
+        vocab_size=30527, max_position_embeddings=514, type_vocab_size=0,
+        layer_norm_eps=1e-5, pad_token_id=1, arch="mpnet",
+        relative_attn_buckets=32, pooling="mean",
+    ),
 }
 
 
@@ -95,6 +119,12 @@ def config_for_model_name(name: str) -> EncoderConfig:
     lowered = name.lower()
     if "modernbert" in lowered:
         key = "answerdotai/ModernBERT-large" if "large" in lowered else "answerdotai/ModernBERT-base"
+        return KNOWN_ARCHS[key]
+    if "mpnet" in lowered:
+        return KNOWN_ARCHS["microsoft/mpnet-base"]
+    if "electra" in lowered:
+        key = ("google/electra-small-discriminator" if "small" in lowered
+               else "google/electra-base-discriminator")
         return KNOWN_ARCHS[key]
     if "tiny" in lowered:
         return KNOWN_ARCHS["prajjwal1/bert-tiny"]
@@ -120,6 +150,7 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
 
         return init_modernbert_params(seed, cfg, dtype)
     D, F, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    E = cfg.embedding_size or D     # ELECTRA: narrow embedding table
     rng = np.random.default_rng(seed)
 
     def nrm(shape):
@@ -127,11 +158,11 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
 
     params = {
         "embeddings": {
-            "word": nrm((cfg.vocab_size, D)),
-            "position": nrm((cfg.max_position_embeddings, D)),
-            "token_type": nrm((max(cfg.type_vocab_size, 1), D)),
-            "ln_scale": jnp.ones((D,), dtype),
-            "ln_bias": jnp.zeros((D,), dtype),
+            "word": nrm((cfg.vocab_size, E)),
+            "position": nrm((cfg.max_position_embeddings, E)),
+            "token_type": nrm((max(cfg.type_vocab_size, 1), E)),
+            "ln_scale": jnp.ones((E,), dtype),
+            "ln_bias": jnp.zeros((E,), dtype),
         },
         "layers": {
             "q_w": nrm((L, D, D)), "q_b": jnp.zeros((L, D), dtype),
@@ -144,6 +175,12 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
             "ffn_ln_scale": jnp.ones((L, D), dtype), "ffn_ln_bias": jnp.zeros((L, D), dtype),
         },
     }
+    if E != D:                       # ELECTRA embeddings_project
+        params["embeddings"]["proj_w"] = nrm((E, D))
+        params["embeddings"]["proj_b"] = jnp.zeros((D,), dtype)
+    if cfg.relative_attn_buckets:    # MPNet shared relative attention bias
+        params["embeddings"]["rel_bias"] = nrm(
+            (cfg.relative_attn_buckets, cfg.num_heads))
     return params
 
 
@@ -187,6 +224,30 @@ def init_params_on_device(seed: int, cfg: EncoderConfig) -> Dict[str, Any]:
 # forward pass
 # ---------------------------------------------------------------------------
 
+def _relative_position_buckets(S: int, num_buckets: int,
+                               max_distance: int) -> np.ndarray:
+    """MPNet/T5 bidirectional relative-position bucket matrix ``[S, S]``.
+
+    Static in S, so it is computed with numpy at trace time and baked into
+    the program as a constant gather index (reference semantics:
+    transformers MPNetModel.relative_position_bucket — sign takes half the
+    buckets, then exact buckets up to max_exact and log-spaced beyond)."""
+    ctx = np.arange(S)[:, None]
+    mem = np.arange(S)[None, :]
+    n = -(mem - ctx)
+    half = num_buckets // 2
+    ret = (n < 0).astype(np.int64) * half
+    n = np.abs(n)
+    max_exact = half // 2
+    is_small = n < max_exact
+    large = max_exact + (
+        np.log(np.maximum(n, 1) / max_exact)
+        / np.log(max_distance / max_exact) * (half - max_exact)
+    ).astype(np.int64)
+    large = np.minimum(large, half - 1)
+    return ret + np.where(is_small, n, large)
+
+
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -228,9 +289,9 @@ def encoder_forward(
     B, S = input_ids.shape
     emb = params["embeddings"]
     h = emb["word"][input_ids]
-    if cfg.arch == "roberta":
-        # RoBERTa position ids: pad positions get padding_idx, real tokens
-        # get cumsum(mask) + padding_idx (first real token at pad_id+1)
+    if cfg.arch in ("roberta", "mpnet"):
+        # RoBERTa/MPNet position ids: pad positions get padding_idx, real
+        # tokens get cumsum(mask) + padding_idx (first real at pad_id+1)
         pad = cfg.pad_token_id
         mask_i = (input_ids != pad).astype(jnp.int32)
         pos_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
@@ -240,11 +301,27 @@ def encoder_forward(
     if cfg.type_vocab_size > 0:
         h = h + emb["token_type"][0][None, None, :]
     h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+    if "proj_w" in emb:
+        # ELECTRA: embedding LayerNorm runs at embedding_size, then a
+        # learned projection widens to hidden_size (embeddings_project)
+        h = h @ emb["proj_w"] + emb["proj_b"]
     h = h.astype(compute_dtype)
 
     # additive attention mask [B, 1, 1, S]
     neg = jnp.asarray(-1e9, jnp.float32)
     amask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg)
+    if cfg.relative_attn_buckets:
+        # MPNet: learned bucketed relative attention bias, shared across
+        # layers — folded into the additive mask once ([1,H,S,S] + [B,1,1,S]
+        # broadcast).  The Pallas attention kernels take only the [B,S] pad
+        # mask, so MPNet pins the einsum path (fine at MPNet's 512-token
+        # envelope; parity first — reference wraps any AutoModel,
+        # /root/reference/src/adaptive_classifier/classifier.py:59-83).
+        buckets = _relative_position_buckets(
+            S, cfg.relative_attn_buckets, cfg.relative_attn_max_distance)
+        rel = emb["rel_bias"][jnp.asarray(buckets)]          # [S, S, H]
+        amask = amask + jnp.transpose(rel, (2, 0, 1))[None].astype(jnp.float32)
+        attn_impl = "einsum"
 
     H, Dh = cfg.num_heads, cfg.head_dim
     scale = 1.0 / np.sqrt(Dh)
@@ -401,6 +478,31 @@ def _read_hf_config(path: Path) -> EncoderConfig:
             layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
             pad_token_id=cfg.get("pad_token_id", 1), arch="roberta",
         )
+    if model_type == "mpnet":
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+            num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 514),
+            type_vocab_size=0, layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
+            pad_token_id=cfg.get("pad_token_id", 1), arch="mpnet",
+            relative_attn_buckets=cfg.get("relative_attention_num_buckets", 32),
+            pooling=cfg.get("ac_pooling", "cls"),
+        )
+    if model_type == "electra":
+        hid = cfg["hidden_size"]
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=hid,
+            num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 512),
+            type_vocab_size=cfg.get("type_vocab_size", 2),
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+            pad_token_id=cfg.get("pad_token_id", 0), arch="electra",
+            embedding_size=(cfg.get("embedding_size", hid)
+                            if cfg.get("embedding_size", hid) != hid else 0),
+            pooling=cfg.get("ac_pooling", "cls"),
+        )
     arch = "distilbert" if "distilbert" in model_type else "bert"
     if arch == "distilbert":
         return EncoderConfig(
@@ -444,7 +546,7 @@ def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, 
 
         return map_modernbert_weights(sd, cfg)
     # strip the model prefix if present
-    prefixes = ("bert.", "distilbert.", "roberta.", "")
+    prefixes = ("bert.", "distilbert.", "roberta.", "electra.", "mpnet.", "")
     def get(name: str) -> np.ndarray:
         for p in prefixes:
             if p + name in sd:
@@ -467,20 +569,37 @@ def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, 
         }
         layer_fmt = "transformer.layer.{i}.{n}"
     else:
+        E = cfg.embedding_size or D
         emb = {
             "word": get("embeddings.word_embeddings.weight"),
             "position": get("embeddings.position_embeddings.weight"),
-            "token_type": get("embeddings.token_type_embeddings.weight"),
+            "token_type": (get("embeddings.token_type_embeddings.weight")
+                           if cfg.type_vocab_size > 0
+                           else np.zeros((1, E), np.float32)),
             "ln_scale": get("embeddings.LayerNorm.weight"),
             "ln_bias": get("embeddings.LayerNorm.bias"),
         }
-        names = {
-            "q": "attention.self.query", "k": "attention.self.key",
-            "v": "attention.self.value", "o": "attention.output.dense",
-            "attn_ln": "attention.output.LayerNorm",
-            "ffn_in": "intermediate.dense", "ffn_out": "output.dense",
-            "ffn_ln": "output.LayerNorm",
-        }
+        if E != D:                          # ELECTRA embeddings_project
+            emb["proj_w"] = get("embeddings_project.weight").T
+            emb["proj_b"] = get("embeddings_project.bias")
+        if cfg.relative_attn_buckets:       # MPNet shared relative bias
+            emb["rel_bias"] = get("encoder.relative_attention_bias.weight")
+        if cfg.arch == "mpnet":
+            names = {
+                "q": "attention.attn.q", "k": "attention.attn.k",
+                "v": "attention.attn.v", "o": "attention.attn.o",
+                "attn_ln": "attention.LayerNorm",
+                "ffn_in": "intermediate.dense", "ffn_out": "output.dense",
+                "ffn_ln": "output.LayerNorm",
+            }
+        else:
+            names = {
+                "q": "attention.self.query", "k": "attention.self.key",
+                "v": "attention.self.value", "o": "attention.output.dense",
+                "attn_ln": "attention.output.LayerNorm",
+                "ffn_in": "intermediate.dense", "ffn_out": "output.dense",
+                "ffn_ln": "output.LayerNorm",
+            }
         layer_fmt = "encoder.layer.{i}.{n}"
 
     def lget(i: int, n: str, suffix: str) -> np.ndarray:
@@ -578,7 +697,12 @@ class Encoder:
         cd = self.compute_dtype
 
         if self.quantization == "int8":
-            if cfg.arch not in ("bert", "distilbert", "roberta"):
+            # ELECTRA without an embedding projection is structurally BERT;
+            # MPNet's relative bias and projected ELECTRA stay on the float
+            # path (the int8 layer body takes only the [B,S] pad mask)
+            int8_ok = (cfg.arch in ("bert", "distilbert", "roberta")
+                       or (cfg.arch == "electra" and not cfg.embedding_size))
+            if not int8_ok:
                 logger.warning(
                     f"quantization='int8' is not supported for arch "
                     f"'{cfg.arch}'; falling back to the float path"
@@ -655,6 +779,8 @@ class Encoder:
         forced = os.environ.get("AC_ATTN_IMPL")
         if forced:
             return forced
+        if self.config.relative_attn_buckets:
+            return "einsum"          # MPNet bias rides the additive mask
         if jax.default_backend() != "tpu":
             return "einsum"
         if seq_len >= 1024:

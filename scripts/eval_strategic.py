@@ -205,6 +205,12 @@ def main():
                          "(round-5 lexical typo-attack hardening)")
     ap.add_argument("--ridge-lambda", default="1.0",
                     help="'auto' (train-fold probe) or a float, BOTH arms")
+    ap.add_argument("--lexical-grams", default=None,
+                    help="fix the lexical gram kind instead of the "
+                         "train-fold auto sweep; 'skel' (typo-invariant "
+                         "skeleton grams) is the hardened-deployment "
+                         "choice — invariant by construction to the "
+                         "in-word transpositions the attack applies")
     ap.add_argument("--head-typo-weight", type=float, default=None,
                     help="LS weight of the typo'd-copy rows (with "
                          "--head-typo-augment; default = config default)")
@@ -238,6 +244,8 @@ def main():
     if not Path(model).exists() and (REPO / model).exists():
         model = str(REPO / model)   # repo-relative checkpoint path
     lex_cfg = {"lexical_dim": args.lexical_dim} if args.lexical_dim else {}
+    if args.lexical_grams:
+        lex_cfg["lexical_grams"] = args.lexical_grams
     if args.head_type != "mlp":
         lex_cfg["head_type"] = args.head_type
     if args.fusion_weights != "history":
