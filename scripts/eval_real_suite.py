@@ -293,13 +293,19 @@ def main():
         ["--model", model, "--seed", str(s0), "--data", "moderation",
          *PROD_FLAGS],
         tmp / "strategic_prod_moderation.json")
-    # typo-hardened production: head_typo_augment at full weight — the
-    # round-5 robustness knob (drop 0.09 -> ~0.03 measured) at its
-    # measured clean cost; shipped as an opt-in, recorded here so the
-    # tradeoff is part of the vintage
+    # typo-hardened production (opt-in deployment config, recorded so the
+    # tradeoff is part of the vintage): typo-INVARIANT skeleton grams —
+    # the attack's in-word transpositions hash to identical skeletons by
+    # construction — plus typo'd-copy head rows for the dense half.
+    # Round-5 sweep on sentiment: default production (charskel) drop
+    # 0.07; charskel+augment 0.06; skel alone 0.02 reg / 0.04 strat at
+    # clean 0.75/0.785; skel+augment 0.025/0.04 at clean 0.76/0.790 —
+    # the winner, matching dense's 0.025 drop while keeping the lexical
+    # lift (+12pp clean over dense 0.67)
     strategic_prod_hardened = run_json(
         "eval_strategic.py",
         ["--model", model, "--seed", str(s0), *PROD_FLAGS,
+         "--lexical-grams", "skel",
          "--head-typo-augment", "--head-typo-weight", "1.0"],
         tmp / "strategic_prod_hardened.json")
     report["strategic"] = {
