@@ -53,7 +53,8 @@ class AdaptiveClassifier:
     ``trust_remote_code`` is likewise API-parity-only: the reference passes
     it to transformers to allow a checkpoint to EXECUTE bundled Python.
     This framework's encoders are pure-JAX reimplementations of fixed
-    architectures (bert/distilbert/roberta/modernbert/electra/mpnet) —
+    architectures (bert/distilbert/roberta/modernbert/electra/mpnet/
+    deberta-v2/v3) —
     checkpoint code is never executed, so the flag has nothing to gate;
     unsupported custom architectures fail loudly at load instead.
     """
@@ -1787,17 +1788,38 @@ class AdaptiveClassifier:
 
     def export_onnx(self, save_directory, quantize: bool = True,
                     quantization_config: Optional[str] = None) -> Path:
-        """API-parity analog of the reference's ONNX export
-        (classifier.py:1031-1107).
+        """Export the encoder as an actual ``model.onnx`` interop artifact
+        (reference ``export_onnx``, classifier.py:1031-1107).
 
-        There is no ONNX runtime in the TPU stack — the jitted XLA forward is
-        the optimized inference path — so this exports the int8-quantized
-        encoder bundle (the ``model_quantized.onnx`` analog: ~4× smaller,
-        same accuracy envelope).  ``quantization_config`` (arm64/avx512/avx2
-        in the reference) has no TPU meaning and is ignored.
+        A first-party ONNX writer (``onnx_export.py`` — no onnx/optimum
+        dependency) emits the encoder forward as a standard opset-17 graph
+        loadable by any ONNX Runtime consumer, with ``last_hidden_state``
+        and a fused ``sentence_embedding`` (pool + L2-normalize) output.
+        ``quantize=True`` additionally writes ``model_quantized.onnx``
+        (weight-only int8 behind DequantizeLinear, ~4× smaller — the
+        reference's dynamic-quantized artifact analog, README.md:244).
+        ``quantization_config`` (arm64/avx512/avx2 in the reference) picks
+        CPU ISA kernels inside ORT and has no meaning for the artifact
+        itself; it is accepted and ignored.
+
+        The int8-quantized TPU bundle (this framework's own accelerated
+        format) is exported alongside under ``quantized/`` so the
+        directory serves both consumers.  Rotary/relative-position
+        families (modernbert/mpnet/deberta) have no ONNX emission —
+        ``export_quantized`` still works for them.
         """
+        from .onnx_export import export_encoder_onnx
+        from .quantization import save_quantized_encoder
+
+        save_directory = Path(save_directory)
+        export_encoder_onnx(self.encoder, save_directory, quantize=quantize)
+        save_quantized_encoder(self.encoder, save_directory / "quantized")
+        return save_directory
+
+    def export_quantized(self, save_directory) -> Path:
+        """Export only the TPU-native int8 encoder bundle (the fast path
+        this framework itself loads; see persistence.py's quantized/
+        restore)."""
         from .quantization import save_quantized_encoder
 
         return save_quantized_encoder(self.encoder, Path(save_directory))
-
-    export_quantized = export_onnx

@@ -45,7 +45,7 @@ class EncoderConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
-    arch: str = "bert"  # bert | distilbert | roberta | modernbert | electra | mpnet
+    arch: str = "bert"  # bert | distilbert | roberta | modernbert | electra | mpnet | deberta
     #: sentence pooling: "cls" (reference semantics) or "mean" (masked mean
     #: — used by our MLM-only pretrained checkpoints via config.json's
     #: "ac_pooling" key)
@@ -69,6 +69,22 @@ class EncoderConfig:
     #: matrix is a static function of S, computed on host at trace time.
     relative_attn_buckets: int = 0
     relative_attn_max_distance: int = 128
+    #: DeBERTa-v2/v3 disentangled attention.  ``rel_att_span`` is K — the
+    #: per-direction position span (position_buckets when bucketed, else
+    #: max_relative_positions); the shared relative-embedding table has
+    #: 2K rows.  0 = no relative attention.  ``rel_att_buckets`` is the HF
+    #: position_buckets value (0 = unbucketed raw offsets), ``rel_att_max_pos``
+    #: the log-bucket max_position, ``rel_pos_att`` the enabled score terms
+    #: ("c2p|p2c" for v3), ``rel_norm`` whether the table gets the encoder
+    #: -level LayerNorm (norm_rel_ebd="layer_norm"), and
+    #: ``position_biased_input`` whether absolute position embeddings are
+    #: added (v3 keeps them; some v2 variants drop them).
+    rel_att_span: int = 0
+    rel_att_buckets: int = 0
+    rel_att_max_pos: int = 0
+    rel_pos_att: str = ""
+    rel_norm: bool = False
+    position_biased_input: bool = True
 
     @property
     def head_dim(self) -> int:
@@ -110,6 +126,17 @@ KNOWN_ARCHS: Dict[str, EncoderConfig] = {
         layer_norm_eps=1e-5, pad_token_id=1, arch="mpnet",
         relative_attn_buckets=32, pooling="mean",
     ),
+    "microsoft/deberta-v3-base": EncoderConfig(
+        vocab_size=128100, type_vocab_size=0, layer_norm_eps=1e-7,
+        arch="deberta", rel_att_span=256, rel_att_buckets=256,
+        rel_att_max_pos=512, rel_pos_att="p2c|c2p", rel_norm=True,
+    ),
+    "microsoft/deberta-v3-xsmall": EncoderConfig(
+        vocab_size=128100, hidden_size=384, num_layers=12, num_heads=6,
+        intermediate_size=1536, type_vocab_size=0, layer_norm_eps=1e-7,
+        arch="deberta", rel_att_span=256, rel_att_buckets=256,
+        rel_att_max_pos=512, rel_pos_att="p2c|c2p", rel_norm=True,
+    ),
 }
 
 
@@ -125,6 +152,10 @@ def config_for_model_name(name: str) -> EncoderConfig:
     if "electra" in lowered:
         key = ("google/electra-small-discriminator" if "small" in lowered
                else "google/electra-base-discriminator")
+        return KNOWN_ARCHS[key]
+    if "deberta" in lowered:
+        key = ("microsoft/deberta-v3-xsmall" if "xsmall" in lowered
+               else "microsoft/deberta-v3-base")
         return KNOWN_ARCHS[key]
     if "tiny" in lowered:
         return KNOWN_ARCHS["prajjwal1/bert-tiny"]
@@ -177,10 +208,16 @@ def init_params(seed: int, cfg: EncoderConfig, dtype=jnp.float32) -> Dict[str, A
     }
     if E != D:                       # ELECTRA embeddings_project
         params["embeddings"]["proj_w"] = nrm((E, D))
-        params["embeddings"]["proj_b"] = jnp.zeros((D,), dtype)
+        if cfg.arch != "deberta":    # DeBERTa embed_proj has no bias
+            params["embeddings"]["proj_b"] = jnp.zeros((D,), dtype)
     if cfg.relative_attn_buckets:    # MPNet shared relative attention bias
         params["embeddings"]["rel_bias"] = nrm(
             (cfg.relative_attn_buckets, cfg.num_heads))
+    if cfg.rel_att_span:             # DeBERTa shared relative embedding table
+        params["embeddings"]["rel_emb"] = nrm((2 * cfg.rel_att_span, D))
+        if cfg.rel_norm:
+            params["embeddings"]["rel_ln_scale"] = jnp.ones((D,), dtype)
+            params["embeddings"]["rel_ln_bias"] = jnp.zeros((D,), dtype)
     return params
 
 
@@ -248,6 +285,28 @@ def _relative_position_buckets(S: int, num_buckets: int,
     return ret + np.where(is_small, n, large)
 
 
+def _deberta_rel_positions(S: int, bucket_size: int, max_position: int) -> np.ndarray:
+    """DeBERTa-v2 (log-bucketed) relative position matrix ``[S, S]``.
+
+    rel[i, j] = bucket(i - j): exact offsets inside ±bucket_size/2, then
+    log-spaced with the sign preserved (HF make_log_bucket_position /
+    build_relative_position semantics — float32 math to match torch's ceil
+    boundaries).  Static in S → numpy at trace time, baked as a constant."""
+    q = np.arange(S, dtype=np.int64)
+    rel = q[:, None] - q[None, :]
+    if bucket_size > 0 and max_position > 0:
+        sign = np.sign(rel).astype(np.float32)
+        mid = bucket_size // 2
+        abs_pos = np.where((rel < mid) & (rel > -mid), mid - 1, np.abs(rel))
+        log_pos = np.ceil(
+            np.log(abs_pos.astype(np.float32) / mid)
+            / np.log(np.float32((max_position - 1) / mid)) * (mid - 1)
+        ).astype(np.float32) + mid
+        rel = np.where(abs_pos <= mid, rel,
+                       (log_pos * sign).astype(np.int64))
+    return rel
+
+
 def _layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -289,22 +348,36 @@ def encoder_forward(
     B, S = input_ids.shape
     emb = params["embeddings"]
     h = emb["word"][input_ids]
-    if cfg.arch in ("roberta", "mpnet"):
-        # RoBERTa/MPNet position ids: pad positions get padding_idx, real
-        # tokens get cumsum(mask) + padding_idx (first real at pad_id+1)
-        pad = cfg.pad_token_id
-        mask_i = (input_ids != pad).astype(jnp.int32)
-        pos_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
-        h = h + emb["position"][pos_ids]
+    if cfg.arch == "deberta":
+        # DeBERTa embedding order differs from ELECTRA's: optional absolute
+        # positions (position_biased_input), optional bias-free embed_proj
+        # widening, THEN LayerNorm at hidden_size, then pad rows zeroed
+        # (HF DebertaV2Embeddings.forward masks the embedding output)
+        if cfg.position_biased_input:
+            h = h + emb["position"][jnp.arange(S)][None, :, :]
+        if cfg.type_vocab_size > 0:
+            h = h + emb["token_type"][0][None, None, :]
+        if "proj_w" in emb:
+            h = h @ emb["proj_w"]
+        h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+        h = h * attention_mask[:, :, None].astype(h.dtype)
     else:
-        h = h + emb["position"][jnp.arange(S)][None, :, :]
-    if cfg.type_vocab_size > 0:
-        h = h + emb["token_type"][0][None, None, :]
-    h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
-    if "proj_w" in emb:
-        # ELECTRA: embedding LayerNorm runs at embedding_size, then a
-        # learned projection widens to hidden_size (embeddings_project)
-        h = h @ emb["proj_w"] + emb["proj_b"]
+        if cfg.arch in ("roberta", "mpnet"):
+            # RoBERTa/MPNet position ids: pad positions get padding_idx, real
+            # tokens get cumsum(mask) + padding_idx (first real at pad_id+1)
+            pad = cfg.pad_token_id
+            mask_i = (input_ids != pad).astype(jnp.int32)
+            pos_ids = jnp.cumsum(mask_i, axis=1) * mask_i + pad
+            h = h + emb["position"][pos_ids]
+        else:
+            h = h + emb["position"][jnp.arange(S)][None, :, :]
+        if cfg.type_vocab_size > 0:
+            h = h + emb["token_type"][0][None, None, :]
+        h = _layer_norm(h, emb["ln_scale"], emb["ln_bias"], cfg.layer_norm_eps)
+        if "proj_w" in emb:
+            # ELECTRA: embedding LayerNorm runs at embedding_size, then a
+            # learned projection widens to hidden_size (embeddings_project)
+            h = h @ emb["proj_w"] + emb["proj_b"]
     h = h.astype(compute_dtype)
 
     # additive attention mask [B, 1, 1, S]
@@ -323,8 +396,38 @@ def encoder_forward(
         amask = amask + jnp.transpose(rel, (2, 0, 1))[None].astype(jnp.float32)
         attn_impl = "einsum"
 
+    # DeBERTa disentangled attention: trace-time constants + the (optionally
+    # LayerNormed) shared relative-embedding table.  The per-layer position
+    # query/key projections reuse the layer's own q/k weights
+    # (share_att_key=True — the v2/v3 published configs); the c2p/p2c score
+    # gathers are static [S,S] index maps (HF DisentangledSelfAttention
+    # .disentangled_attention_bias semantics).
+    deberta_rel = None
+    if cfg.arch == "deberta" and cfg.rel_att_span:
+        K = cfg.rel_att_span
+        rel_pos = _deberta_rel_positions(
+            S, cfg.rel_att_buckets, cfg.rel_att_max_pos)        # [S, S]
+        c2p_idx = np.clip(rel_pos + K, 0, 2 * K - 1)
+        # p2c gather index (pre-transpose): idx[j, l] = clamp(-rel[j, l] + K)
+        p2c_idx = np.clip(-rel_pos + K, 0, 2 * K - 1)
+        table = emb["rel_emb"]
+        if cfg.rel_norm:
+            table = _layer_norm(table, emb["rel_ln_scale"],
+                                emb["rel_ln_bias"], cfg.layer_norm_eps)
+        deberta_rel = (
+            table.astype(compute_dtype),
+            jnp.asarray(c2p_idx, jnp.int32),
+            jnp.asarray(p2c_idx, jnp.int32),
+        )
+        attn_impl = "einsum"
+
     H, Dh = cfg.num_heads, cfg.head_dim
     scale = 1.0 / np.sqrt(Dh)
+    if cfg.arch == "deberta":
+        # scale_factor = 1 + |pos_att_type| — scores AND both disentangled
+        # bias terms divide by sqrt(head_dim * scale_factor)
+        n_pos = len([t for t in cfg.rel_pos_att.split("|") if t]) if deberta_rel else 0
+        scale = 1.0 / np.sqrt(Dh * (1 + n_pos))
     from ..ops.layernorm import add_layer_norm
 
     # measured on v5e: the Pallas add+LN kernel is slightly SLOWER than
@@ -375,6 +478,33 @@ def encoder_forward(
             else:
                 logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                     preferred_element_type=jnp.float32) * scale
+                if deberta_rel is not None:
+                    table, c2p_idx, p2c_idx = deberta_rel
+                    D = cfg.hidden_size
+                    K2 = table.shape[0]
+                    # position keys/queries: the layer's own projections
+                    # applied to the shared table (share_att_key)
+                    qw, qb = lp["qkv_w"][:, :D], lp["qkv_b"][:D]
+                    kw, kb = lp["qkv_w"][:, D:2 * D], lp["qkv_b"][D:2 * D]
+                    if "c2p" in cfg.rel_pos_att:
+                        pos_k = (table @ kw.astype(compute_dtype)
+                                 + kb.astype(compute_dtype)).reshape(K2, H, Dh)
+                        c2p = jnp.einsum("bqhd,khd->bhqk", q, pos_k,
+                                         preferred_element_type=jnp.float32)
+                        c2p = jnp.take_along_axis(
+                            c2p, jnp.broadcast_to(c2p_idx[None, None],
+                                                  (B, H, S, S)), axis=-1)
+                        logits = logits + c2p * scale
+                    if "p2c" in cfg.rel_pos_att:
+                        pos_q = (table @ qw.astype(compute_dtype)
+                                 + qb.astype(compute_dtype)).reshape(K2, H, Dh)
+                        p2c = jnp.einsum("bjhd,khd->bhjk", k, pos_q,
+                                         preferred_element_type=jnp.float32)
+                        p2c = jnp.take_along_axis(
+                            p2c, jnp.broadcast_to(p2c_idx[None, None],
+                                                  (B, H, S, S)), axis=-1)
+                        # gathered[j, i] → score[i, j] (HF transposes p2c)
+                        logits = logits + jnp.swapaxes(p2c, -1, -2) * scale
                 logits = logits + amask
                 probs = jax.nn.softmax(logits, axis=-1).astype(compute_dtype)
                 ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
@@ -489,6 +619,45 @@ def _read_hf_config(path: Path) -> EncoderConfig:
             relative_attn_buckets=cfg.get("relative_attention_num_buckets", 32),
             pooling=cfg.get("ac_pooling", "cls"),
         )
+    if model_type == "deberta-v2":
+        # covers DeBERTa-v2 AND v3 checkpoints (v3 ships model_type
+        # "deberta-v2"); v1 ("deberta") uses a different in_proj layout and
+        # is not supported — fail loudly like the other out-of-family archs
+        hid = cfg["hidden_size"]
+        if cfg.get("conv_kernel_size", 0) and cfg.get("conv_kernel_size", 0) > 0:
+            raise ValueError(
+                "DeBERTa-v2 checkpoints with a ConvLayer (conv_kernel_size>0,"
+                " e.g. deberta-v2-xlarge) are not supported; the v3 family"
+                " (conv-free) is")
+        if cfg.get("relative_attention") and not cfg.get("share_att_key", False):
+            raise ValueError(
+                "DeBERTa relative attention without share_att_key is not"
+                " supported (all published v2/v3 configs share the key)")
+        max_rel = cfg.get("max_relative_positions", -1)
+        if max_rel is None or max_rel < 1:
+            max_rel = cfg.get("max_position_embeddings", 512)
+        buckets = cfg.get("position_buckets") or 0
+        span = (buckets if buckets > 0 else max_rel) if cfg.get("relative_attention") else 0
+        pos_att = cfg.get("pos_att_type") or []
+        if isinstance(pos_att, str):
+            pos_att = [x.strip() for x in pos_att.lower().split("|") if x.strip()]
+        norm_rel = "layer_norm" in str(cfg.get("norm_rel_ebd", "none")).lower()
+        emb_size = cfg.get("embedding_size", hid) or hid
+        return EncoderConfig(
+            vocab_size=cfg["vocab_size"], hidden_size=hid,
+            num_layers=cfg["num_hidden_layers"], num_heads=cfg["num_attention_heads"],
+            intermediate_size=cfg["intermediate_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 512),
+            type_vocab_size=cfg.get("type_vocab_size", 0),
+            layer_norm_eps=cfg.get("layer_norm_eps", 1e-7),
+            pad_token_id=cfg.get("pad_token_id", 0), arch="deberta",
+            embedding_size=emb_size if emb_size != hid else 0,
+            rel_att_span=span, rel_att_buckets=max(buckets, 0),
+            rel_att_max_pos=max_rel,
+            rel_pos_att="|".join(pos_att), rel_norm=norm_rel,
+            position_biased_input=cfg.get("position_biased_input", True),
+            pooling=cfg.get("ac_pooling", "cls"),
+        )
     if model_type == "electra":
         hid = cfg["hidden_size"]
         return EncoderConfig(
@@ -546,7 +715,8 @@ def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, 
 
         return map_modernbert_weights(sd, cfg)
     # strip the model prefix if present
-    prefixes = ("bert.", "distilbert.", "roberta.", "electra.", "mpnet.", "")
+    prefixes = ("bert.", "distilbert.", "roberta.", "electra.", "mpnet.",
+                "deberta.", "")
     def get(name: str) -> np.ndarray:
         for p in prefixes:
             if p + name in sd:
@@ -572,19 +742,37 @@ def _map_hf_weights(sd: Dict[str, np.ndarray], cfg: EncoderConfig) -> Dict[str, 
         E = cfg.embedding_size or D
         emb = {
             "word": get("embeddings.word_embeddings.weight"),
-            "position": get("embeddings.position_embeddings.weight"),
+            "position": (get("embeddings.position_embeddings.weight")
+                         if cfg.arch != "deberta" or cfg.position_biased_input
+                         else np.zeros((1, E), np.float32)),
             "token_type": (get("embeddings.token_type_embeddings.weight")
                            if cfg.type_vocab_size > 0
                            else np.zeros((1, E), np.float32)),
             "ln_scale": get("embeddings.LayerNorm.weight"),
             "ln_bias": get("embeddings.LayerNorm.bias"),
         }
-        if E != D:                          # ELECTRA embeddings_project
-            emb["proj_w"] = get("embeddings_project.weight").T
-            emb["proj_b"] = get("embeddings_project.bias")
+        if E != D:
+            if cfg.arch == "deberta":       # bias-free embed_proj
+                emb["proj_w"] = get("embeddings.embed_proj.weight").T
+            else:                           # ELECTRA embeddings_project
+                emb["proj_w"] = get("embeddings_project.weight").T
+                emb["proj_b"] = get("embeddings_project.bias")
         if cfg.relative_attn_buckets:       # MPNet shared relative bias
             emb["rel_bias"] = get("encoder.relative_attention_bias.weight")
-        if cfg.arch == "mpnet":
+        if cfg.rel_att_span:                # DeBERTa shared relative table
+            emb["rel_emb"] = get("encoder.rel_embeddings.weight")
+            if cfg.rel_norm:
+                emb["rel_ln_scale"] = get("encoder.LayerNorm.weight")
+                emb["rel_ln_bias"] = get("encoder.LayerNorm.bias")
+        if cfg.arch == "deberta":
+            names = {
+                "q": "attention.self.query_proj", "k": "attention.self.key_proj",
+                "v": "attention.self.value_proj", "o": "attention.output.dense",
+                "attn_ln": "attention.output.LayerNorm",
+                "ffn_in": "intermediate.dense", "ffn_out": "output.dense",
+                "ffn_ln": "output.LayerNorm",
+            }
+        elif cfg.arch == "mpnet":
             names = {
                 "q": "attention.attn.q", "k": "attention.attn.k",
                 "v": "attention.attn.v", "o": "attention.attn.o",
@@ -781,6 +969,8 @@ class Encoder:
             return forced
         if self.config.relative_attn_buckets:
             return "einsum"          # MPNet bias rides the additive mask
+        if self.config.arch == "deberta":
+            return "einsum"          # disentangled scores need the full path
         if jax.default_backend() != "tpu":
             return "einsum"
         if seq_len >= 1024:

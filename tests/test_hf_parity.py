@@ -280,6 +280,91 @@ def test_mpnet_forward_parity(tmp_path):
     np.testing.assert_allclose(ours, ref, atol=2e-3)
 
 
+def test_deberta_v3_forward_parity(tmp_path):
+    """DeBERTa-v2/v3: disentangled attention (c2c + c2p + p2c with shared
+    attention keys), log-bucketed relative positions, LayerNormed relative
+    embedding table, masked embedding output.  Small position_buckets so the
+    log-bucket branch is actually exercised at S=24."""
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    cfg = DebertaV2Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=0,
+        relative_attention=True, position_buckets=8,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type="p2c|c2p", position_biased_input=True,
+        conv_kernel_size=0,
+    )
+    torch.manual_seed(0)
+    model = DebertaV2Model(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    enc = Encoder(str(tmp_path), compute_dtype="float32")
+    assert enc.pretrained and enc.config.arch == "deberta"
+    assert enc.config.rel_att_span == 8 and enc.config.rel_norm
+
+    r = np.random.default_rng(0)
+    B, S = 2, 24
+    ids = r.integers(5, 500, (B, S)).astype(np.int64)
+    mask = np.ones((B, S), np.int64)
+    mask[1, 16:] = 0
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).last_hidden_state[:, 0, :]
+        ref = torch.nn.functional.normalize(out, p=2, dim=1).numpy()
+
+    import jax.numpy as jnp
+
+    ours = np.asarray(enc._embed_jit(
+        enc.params, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32)
+    ))
+    cos = (ours * ref).sum(axis=1)
+    assert (cos > 0.999).all(), cos
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_deberta_embed_proj_parity(tmp_path):
+    """DeBERTa with a narrow embedding table (bias-free embed_proj, LN at
+    hidden_size AFTER the projection — the opposite order from ELECTRA)."""
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    cfg = DebertaV2Config(
+        vocab_size=512, embedding_size=32, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=0,
+        relative_attention=True, position_buckets=8,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type="c2p", position_biased_input=False,
+        conv_kernel_size=0,
+    )
+    torch.manual_seed(1)
+    model = DebertaV2Model(cfg)
+    model.eval()
+    model.save_pretrained(tmp_path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+
+    from adaptive_classifier_tpu.models.encoder import Encoder
+
+    enc = Encoder(str(tmp_path), compute_dtype="float32")
+    assert enc.config.arch == "deberta"
+    assert enc.config.embedding_size == 32
+    assert not enc.config.position_biased_input
+    _compare(tmp_path, model)
+
+
 def test_classifier_with_mpnet_checkpoint(tmp_path):
     """Full pipeline (add/predict/save/load) over an MPNet checkpoint —
     the new-family integration smoke."""
@@ -294,6 +379,43 @@ def test_classifier_with_mpnet_checkpoint(tmp_path):
     MPNetModel(cfg).save_pretrained(tmp_path)
     vocab = ["<s>", "<pad>", "</s>", "[UNK]", "[CLS]", "[SEP]", "[PAD]",
              "[MASK]"] + [f"tok{i}" for i in range(504)]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab))
+
+    from adaptive_classifier_tpu import AdaptiveClassifier
+
+    clf = AdaptiveClassifier(str(tmp_path), config={
+        "train_size_buckets": [64], "class_capacity_buckets": [8],
+        "example_capacity_buckets": [32],
+    })
+    assert clf.encoder.pretrained
+    clf.add_examples(["tok1 tok2 tok3", "tok9 tok8 tok7"], ["a", "b"])
+    p1 = clf.predict("tok1 tok2", k=2)
+    assert len(p1) == 2
+    out = tmp_path / "saved"
+    clf.save(str(out))
+    clf2 = AdaptiveClassifier.load(str(out))
+    p2 = clf2.predict("tok1 tok2", k=2)
+    assert [x[0] for x in p1] == [x[0] for x in p2]
+
+
+def test_classifier_with_deberta_checkpoint(tmp_path):
+    """Full pipeline (add/predict/save/load) over a DeBERTa-v3-style
+    checkpoint — the disentangled-attention family integration smoke."""
+    from transformers import DebertaV2Config, DebertaV2Model
+
+    cfg = DebertaV2Config(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=128, type_vocab_size=0,
+        relative_attention=True, position_buckets=8,
+        norm_rel_ebd="layer_norm", share_att_key=True,
+        pos_att_type="p2c|c2p", conv_kernel_size=0,
+    )
+    torch.manual_seed(0)
+    DebertaV2Model(cfg).save_pretrained(tmp_path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [
+        f"tok{i}" for i in range(507)
+    ]
     (tmp_path / "vocab.txt").write_text("\n".join(vocab))
 
     from adaptive_classifier_tpu import AdaptiveClassifier
